@@ -1,0 +1,165 @@
+"""Stateless Monte-Carlo samplers (threefry-keyed).
+
+TPU-native equivalent of reference ``optrace/tracer/random.py:1-160``. The
+reference uses a module-global stateful ``np.random.Generator(SFC64)``; here
+every sampler is a pure function of a ``jax.random`` key, so traces are
+reproducible, shardable (fold the mesh shard index into the key) and
+differentiable around.
+
+Samplers:
+- stratified interval / rectangle (jittered grids, reference random.py:8-67)
+- stratified ring via the Shirley/Chiu concentric equal-area square→disc map
+  (reference random.py:70-110 uses the same family of equal-area maps)
+- inverse-transform sampling from tabulated pdfs (continuous) and discrete
+  line spectra (reference random.py:113-159) — implemented as searchsorted /
+  interp on a precomputed CDF, which XLA vectorizes well.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+# ----------------------------------------------------------------------
+# uniform / stratified 1D
+
+def uniform(key, N: int, a: float, b: float) -> jnp.ndarray:
+    """N uniform samples in [a, b]."""
+    return jax.random.uniform(key, (N,), minval=a, maxval=b)
+
+
+def stratified_interval_sampling(key, N: int, a, b,
+                                 shuffle: bool = True) -> jnp.ndarray:
+    """N stratified (jittered-grid) samples in [a, b].
+
+    Each of N equal cells receives exactly one uniform sample; optional
+    shuffling removes ordering correlation between successive rays.
+    """
+    k1, k2 = jax.random.split(key)
+    jitter = jax.random.uniform(k1, (N,))
+    pos = (jnp.arange(N) + jitter) / N
+    if shuffle:
+        pos = jax.random.permutation(k2, pos)
+    return a + (b - a) * pos
+
+
+# ----------------------------------------------------------------------
+# stratified 2D rectangle
+
+def stratified_rectangle_sampling(key, N: int, x0, x1, y0, y1,
+                                  shuffle: bool = True):
+    """N stratified samples in the rectangle [x0,x1]×[y0,y1].
+
+    A ⌊√N⌋² jittered grid covers most samples; the remainder is drawn
+    uniformly (reference random.py:8-45 uses the same grid+rest scheme).
+    Returns (x, y) arrays of length N.
+    """
+    n = int(math.isqrt(N))
+    n2 = n * n
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    if n2 > 0:
+        jit_xy = jax.random.uniform(k1, (2, n2))
+        ix = jnp.tile(jnp.arange(n), n)
+        iy = jnp.repeat(jnp.arange(n), n)
+        gx = (ix + jit_xy[0]) / n
+        gy = (iy + jit_xy[1]) / n
+    else:
+        gx = jnp.zeros((0,))
+        gy = jnp.zeros((0,))
+
+    rest = N - n2
+    if rest > 0:
+        rx = jax.random.uniform(k2, (rest,))
+        ry = jax.random.uniform(k3, (rest,))
+        gx = jnp.concatenate([gx, rx])
+        gy = jnp.concatenate([gy, ry])
+
+    if shuffle:
+        perm = jax.random.permutation(k4, N)
+        gx, gy = gx[perm], gy[perm]
+
+    return x0 + (x1 - x0) * gx, y0 + (y1 - y0) * gy
+
+
+# ----------------------------------------------------------------------
+# stratified ring / disc
+
+def _concentric_square_to_disc(u: jnp.ndarray, v: jnp.ndarray):
+    """Shirley–Chiu concentric map: unit square → unit disc, equal-area,
+    stratification-preserving. Returns (r, phi)."""
+    a = 2.0 * u - 1.0
+    b = 2.0 * v - 1.0
+    use_a = jnp.abs(a) > jnp.abs(b)
+    # avoid 0/0 at the origin
+    safe_a = jnp.where(a == 0, 1.0, a)
+    safe_b = jnp.where(b == 0, 1.0, b)
+    # signed radius keeps the formula 2-branch; fold the sign into the angle
+    rs = jnp.where(use_a, a, b)
+    phi = jnp.where(use_a,
+                    (jnp.pi / 4.0) * (b / safe_a),
+                    (jnp.pi / 2.0) - (jnp.pi / 4.0) * (a / safe_b))
+    phi = jnp.where(rs < 0, phi + jnp.pi, phi)
+    phi = jnp.where((a == 0) & (b == 0), 0.0, phi)
+    return jnp.abs(rs), phi
+
+
+def stratified_ring_sampling(key, N: int, ri: float, r: float,
+                             polar: bool = False):
+    """N equal-area stratified samples on the annulus ri ≤ ρ ≤ r.
+
+    Stratified square samples are pushed through the concentric equal-area
+    map to the unit disc, then the radius is remapped so the area density
+    stays uniform on the annulus: ρ = √(ri² + t²·(r² − ri²)) with t the disc
+    radius (reference random.py:70-110 equal-area annulus scheme).
+    """
+    u, v = stratified_rectangle_sampling(key, N, 0.0, 1.0, 0.0, 1.0)
+    t, phi = _concentric_square_to_disc(u, v)
+    rho = jnp.sqrt(ri * ri + t * t * (r * r - ri * ri))
+    if polar:
+        return rho, phi
+    return rho * jnp.cos(phi), rho * jnp.sin(phi)
+
+
+# ----------------------------------------------------------------------
+# inverse-transform sampling
+
+def cdf_from_pdf(x: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+    """Normalized CDF of a tabulated pdf via cumulative trapezoid rule.
+
+    Matches the reference's continuous inverse-transform construction
+    (random.py:113-140: cumtrapz + linear-interp inverse).
+    """
+    dx = x[1:] - x[:-1]
+    seg = 0.5 * (f[1:] + f[:-1]) * dx
+    cdf = jnp.concatenate([jnp.zeros((1,), f.dtype), jnp.cumsum(seg)])
+    return cdf / cdf[-1]
+
+
+def inverse_transform_from_u(u: jnp.ndarray, x: jnp.ndarray,
+                             f: jnp.ndarray) -> jnp.ndarray:
+    """Map uniform samples u∈[0,1] through the inverse CDF of pdf f over x."""
+    cdf = cdf_from_pdf(x, f)
+    return jnp.interp(u, cdf, x)
+
+
+def inverse_transform_sampling(key, N: int, x: jnp.ndarray, f: jnp.ndarray,
+                               kind: str = "continuous") -> jnp.ndarray:
+    """Sample N values from a tabulated distribution.
+
+    kind="continuous": f is a pdf over grid x, sampled by linear inverse-CDF
+    interpolation. kind="discrete": f are probabilities of the discrete
+    values x (reference random.py:141-159 cumsum + 'next' interpolation).
+    Uses stratified uniforms so spectral sampling noise drops ~1/N.
+    """
+    u = stratified_interval_sampling(key, N, 0.0, 1.0, shuffle=True)
+    if kind == "continuous":
+        return inverse_transform_from_u(u, x, f)
+    if kind == "discrete":
+        p = f / jnp.sum(f)
+        cdf = jnp.cumsum(p)
+        idx = jnp.searchsorted(cdf, u, side="left")
+        idx = jnp.clip(idx, 0, x.shape[0] - 1)
+        return x[idx]
+    raise ValueError(f"Unknown sampling kind '{kind}'.")

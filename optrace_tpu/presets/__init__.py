@@ -1,0 +1,5 @@
+"""Preset catalogs: spectral lines, spectra, refraction indices, geometries,
+images, PSFs (reference optrace/tracer/presets/, SURVEY.md §2.8)."""
+
+from . import spectral_lines  # noqa: F401
+from . import light_spectrum  # noqa: F401
