@@ -22,6 +22,7 @@ from .geometry import (Surface, CircularSurface, RingSurface, ConicSurface,  # n
                        Detector, RaySource, Group, PointMarker, LineMarker,
                        Volume, BoxVolume, SphereVolume, CylinderVolume)
 from .image import RGBImage, GrayscaleImage, ScalarImage, RenderImage  # noqa: F401
+from .tracer import Raytracer, RayStorage  # noqa: F401
 from . import presets  # noqa: F401
 
 from .metadata import version, __version__  # noqa: F401

@@ -46,14 +46,13 @@ class Line(BaseClass):
         self.angle += angle
         self.lock()
 
-    def random_positions(self, key, N: int) -> np.ndarray:
-        p = np.zeros((N, 3), dtype=np.float64)
+    def random_positions(self, key, N: int):
+        import jax.numpy as jnp
         ang = np.deg2rad(self.angle)
-        t = np.asarray(sampling.stratified_interval_sampling(key, N, -self.r, self.r))
-        p[:, 0] = self.pos[0] + np.cos(ang) * t
-        p[:, 1] = self.pos[1] + np.sin(ang) * t
-        p[:, 2] = self.pos[2]
-        return p
+        t = sampling.stratified_interval_sampling(key, N, -self.r, self.r)
+        return jnp.stack([self.pos[0] + np.cos(ang) * t,
+                          self.pos[1] + np.sin(ang) * t,
+                          jnp.full_like(t, self.pos[2])], axis=-1)
 
     def __setattr__(self, key: str, val: Any) -> None:
         if key == "r":

@@ -34,5 +34,6 @@ class Point(BaseClass):
     def extent(self):
         return tuple(self.pos.repeat(2))
 
-    def random_positions(self, key, N: int) -> np.ndarray:
-        return np.broadcast_to(self.pos, (N, 3))
+    def random_positions(self, key, N: int):
+        import jax.numpy as jnp
+        return jnp.broadcast_to(jnp.asarray(self.pos, dtype=jnp.float32), (N, 3))

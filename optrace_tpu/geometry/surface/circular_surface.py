@@ -17,10 +17,9 @@ class CircularSurface(Surface):
         self.z_min = self.z_max = self.pos[2]
         self.lock()
 
-    def random_positions(self, key, N: int) -> np.ndarray:
-        """N stratified-uniform positions on the disc."""
+    def random_positions(self, key, N: int):
+        """N stratified-uniform positions on the disc (traceable)."""
+        import jax.numpy as jnp
         x, y = sampling.stratified_ring_sampling(key, N, 0.0, self.r)
-        p = np.tile(self.pos, (N, 1))
-        p[:, 0] += np.asarray(x)
-        p[:, 1] += np.asarray(y)
-        return p
+        return jnp.stack([x + self.pos[0], y + self.pos[1],
+                          jnp.full_like(x, self.pos[2])], axis=-1)

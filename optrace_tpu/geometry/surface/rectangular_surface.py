@@ -82,11 +82,14 @@ class RectangularSurface(Surface):
         x, y = self._rotate_rc(x, y, self._angle)
         return self.pos[0] + x, self.pos[1] + y, np.full_like(y, self.pos[2])
 
-    def random_positions(self, key, N: int) -> np.ndarray:
+    def random_positions(self, key, N: int):
+        import jax.numpy as jnp
         x, y = sampling.stratified_rectangle_sampling(key, N, *self._extent[:4])
-        p = np.zeros((N, 3), dtype=np.float64)
-        p[:, 0], p[:, 1] = self._rotate_rc(np.asarray(x), np.asarray(y), self._angle)
-        return p + self.pos
+        if self._angle:
+            c, s = np.cos(self._angle), np.sin(self._angle)
+            x, y = x * c - y * s, x * s + y * c
+        return jnp.stack([x + self.pos[0], y + self.pos[1],
+                          jnp.full_like(x, self.pos[2])], axis=-1)
 
     def __setattr__(self, key: str, val: Any) -> None:
         if key == "dim":

@@ -54,12 +54,11 @@ class RingSurface(Surface):
         b[:, 1] = np.sin(theta)
         return a_, b_, b, inside
 
-    def random_positions(self, key, N: int) -> np.ndarray:
+    def random_positions(self, key, N: int):
+        import jax.numpy as jnp
         x, y = sampling.stratified_ring_sampling(key, N, self.ri, self.r)
-        p = np.tile(self.pos, (N, 1))
-        p[:, 0] += np.asarray(x)
-        p[:, 1] += np.asarray(y)
-        return p
+        return jnp.stack([x + self.pos[0], y + self.pos[1],
+                          jnp.full_like(x, self.pos[2])], axis=-1)
 
     def plotting_mesh(self, N: int):
         X0, Y0, Z = super().plotting_mesh(N)

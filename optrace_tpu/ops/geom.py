@@ -26,17 +26,26 @@ N_EPS = 1e-10   #: numerical epsilon (reference surface.py:20)
 # ----------------------------------------------------------------------
 # sag functions (relative coords, z measured from vertex)
 
+def _safe_sqrt(x, valid=None):
+    """sqrt that never produces nan/inf *gradients*: the argument is pushed
+    away from ≤0 before the sqrt (the jnp.where-both-branches pitfall)."""
+    if valid is None:
+        valid = x > 0
+    r = jnp.sqrt(jnp.where(valid, x, 1.0))
+    return jnp.where(valid, r, 0.0)
+
+
 def sag_conic(x, y, rho, k):
     """Conic-section sag z(r) = ρr² / (1 + √(1−(k+1)ρ²r²))
     (standard conicoid equation, reference conic_surface.py:57-68)."""
     r2 = x * x + y * y
-    root = jnp.sqrt(jnp.maximum(1.0 - (k + 1.0) * rho * rho * r2, 0.0))
+    root = _safe_sqrt(1.0 - (k + 1.0) * rho * rho * r2)
     return rho * r2 / (1.0 + root)
 
 
 def sag_conic_radial(r2, rho, k):
     """Conic sag as function of r²."""
-    root = jnp.sqrt(jnp.maximum(1.0 - (k + 1.0) * rho * rho * r2, 0.0))
+    root = _safe_sqrt(1.0 - (k + 1.0) * rho * rho * r2)
     return rho * r2 / (1.0 + root)
 
 
@@ -81,10 +90,12 @@ def normal_conic(x, y, rho, k):
     """Analytic conic normal: n_r = −ρr/√(1−kρ²r²), n_z = √(1−n_r²)
     (reference conic_surface.py:70-124)."""
     r2 = x * x + y * y
-    denom = jnp.sqrt(jnp.maximum(1.0 - k * rho * rho * r2, N_EPS))
+    arg = 1.0 - k * rho * rho * r2
+    denom = jnp.sqrt(jnp.where(arg > N_EPS, arg, N_EPS))
     nx = -rho * x / denom
     ny = -rho * y / denom
-    nz = jnp.sqrt(jnp.maximum(1.0 - (nx * nx + ny * ny), N_EPS))
+    arg_z = 1.0 - (nx * nx + ny * ny)
+    nz = jnp.sqrt(jnp.where(arg_z > N_EPS, arg_z, N_EPS))
     return jnp.stack([nx, ny, nz], axis=-1)
 
 
@@ -175,7 +186,7 @@ def hit_conic(o, s, rho, k, z_min_rel, z_max_rel):
 
     disc = B * B - C * A
     has_root = disc >= 0.0
-    D = jnp.sqrt(jnp.maximum(disc, 0.0))
+    D = _safe_sqrt(disc, has_root)
 
     safe_A = jnp.where(jnp.abs(A) > N_EPS, A, 1.0)
     t1 = jnp.where(jnp.abs(A) > N_EPS, (-B - D) / safe_A, jnp.inf)

@@ -44,11 +44,14 @@ def normalize_safe(a: jnp.ndarray, axis: int = -1,
     """Normalize, mapping zero-length rows to ``fallback`` instead of nan.
 
     Preferred inside traced code where nan would poison downstream masks.
+    Also gradient-safe: the sqrt argument is pushed away from 0 first so
+    reverse-mode never sees an infinite cotangent.
     """
-    n = norm(a, axis=axis)
-    safe = jnp.where(n > 0, n, 1.0)
-    out = a / jnp.expand_dims(safe, axis)
-    return jnp.where(jnp.expand_dims(n > 0, axis), out, fallback)
+    n2 = jnp.sum(a * a, axis=axis)
+    ok = n2 > 0
+    n = jnp.sqrt(jnp.where(ok, n2, 1.0))
+    out = a / jnp.expand_dims(n, axis)
+    return jnp.where(jnp.expand_dims(ok, axis), out, fallback)
 
 
 def masked_assign(where, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

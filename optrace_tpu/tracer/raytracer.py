@@ -1,0 +1,780 @@
+"""Raytracer: scene orchestration around the jitted trace core.
+
+Behavioral parity with reference ``optrace/tracer/raytracer.py``
+(SURVEY.md §2.6, §3): geometry checks with sampled collision detection,
+sequential trace with INFOS warning counters, detector/source image and
+spectrum rendering, iterative (megabatched) rendering, focus search.
+
+TPU-native differences:
+- the trace is one jit-compiled pure function per scene snapshot (cached),
+  rays generated on device from a PRNG key, no Python threads;
+- the detector hit search is a vectorized scan over stored ray sections on
+  device instead of a data-dependent host loop;
+- ray-axis sharding happens inside jit via the helpers in
+  optrace_tpu.parallel (the host code here is mesh-agnostic).
+"""
+
+from enum import IntEnum
+from typing import Any
+
+import numpy as np
+import scipy.optimize
+import jax
+import jax.numpy as jnp
+
+from .ray_storage import RayStorage
+from .scene_compile import compile_surface
+from .trace_core import TraceStep, trace_bundle, N_INFOS
+from ..geometry import (Group, Lens, IdealLens, Filter, Aperture, Detector, RaySource,
+                        Surface, RingSurface, SlitSurface, SphericalSurface,
+                        RectangularSurface, Point, Line)
+from ..spectrum.refraction_index import RefractionIndex
+from ..spectrum.light_spectrum import LightSpectrum
+from ..image.render_image import RenderImage
+from ..ops import geom, binning
+from ..ops import sampling
+from ..utils.property_checker import PropertyChecker as pc
+from ..utils.global_options import global_options
+from ..utils.progress_bar import ProgressBar
+from ..utils.warnings import warning
+
+
+class Raytracer(Group):
+
+    N_EPS: float = 1e-11
+    HURB_FACTOR: float = 2 ** 0.5
+    MAX_RAY_STORAGE_RAM: int = 6000000000
+    ITER_RAYS_STEP: int = 1000000
+    T_TH: float = 0.0
+
+    class INFOS(IntEnum):
+        ABSORB_MISSING = 0
+        TIR = 1
+        ILL_COND = 2
+        OUTLINE_INTERSECTION = 3
+        HURB_NEG_DIR = 4
+
+    focus_search_methods: list = ['RMS Spot Size', 'Irradiance Variance',
+                                  'Image Sharpness', 'Image Center Sharpness']
+
+    def __init__(self, outline, n0: RefractionIndex = None, no_pol: bool = False,
+                 use_hurb: bool = False, **kwargs) -> None:
+        self.outline = outline
+        self.no_pol = no_pol
+        self.use_hurb = use_hurb
+
+        self.rays = RayStorage()
+        self._msgs = np.array([])
+        self._ignore_geometry_error = False
+        self.geometry_error = False
+        self._last_trace_snapshot = None
+        self.fault_pos = np.array([])
+        self._seed_counter = 0
+        self._trace_cache = {}
+
+        super().__init__(None, n0, **kwargs)
+        self._new_lock = True
+
+    def __setattr__(self, key: str, val: Any) -> None:
+        if key == "outline":
+            pc.check_type(key, val, (list, np.ndarray))
+            o = np.asarray(val, dtype=np.float64)
+            pc.check_finite(key, o)
+            if o.shape[0] != 6 or o[0] >= o[1] or o[2] >= o[3] or o[4] >= o[5]:
+                raise ValueError("Outline needs to be specified as [x1, x2, y1, y2, z1, z2] "
+                                 "with x2 > x1, y2 > y1, z2 > z1.")
+            super().__setattr__(key, o)
+            return
+        if key in ("no_pol", "use_hurb"):
+            pc.check_type(key, val, bool)
+        super().__setattr__(key, val)
+
+    @property
+    def extent(self):
+        return tuple(self.outline)
+
+    @property
+    def pos(self):
+        return np.mean(self.outline[:2]), np.mean(self.outline[2:4]), self.outline[4]
+
+    def clear(self) -> None:
+        super().clear()
+        self.rays.__init__()
+        self._trace_cache = {}
+
+    # ------------------------------------------------------------------
+    # snapshots / change detection (reference :129-179)
+
+    def property_snapshot(self) -> dict:
+        return self.tracing_snapshot() | dict(
+            Markers=[D.crepr() for D in self.markers],
+            Volumes=[D.crepr() for D in self.volumes],
+            Detectors=[D.crepr() for D in self.detectors])
+
+    def tracing_snapshot(self) -> dict:
+        return dict(Rays=self.rays.crepr(),
+                    Ambient=[tuple(self.outline), self.n0.crepr()],
+                    TraceSettings=[self.no_pol, self.use_hurb, self.HURB_FACTOR],
+                    Lenses=[D.crepr() for D in self.lenses],
+                    Filters=[D.crepr() for D in self.filters],
+                    Apertures=[D.crepr() for D in self.apertures],
+                    RaySources=[D.crepr() for D in self.ray_sources])
+
+    def compare_property_snapshot(self, h1: dict, h2: dict) -> dict:
+        diff = {key: h1[key] != h2[key] for key in h1.keys()}
+        diff["Ambient"] = diff["Ambient"] or diff["Lenses"]
+        diff["Any"] = any(val for val in diff.values())
+        return diff
+
+    def check_if_rays_are_current(self) -> bool:
+        if self._last_trace_snapshot is None:
+            return False
+        now = self.tracing_snapshot()
+        return not self.compare_property_snapshot(self._last_trace_snapshot, now)["Any"]
+
+    # ------------------------------------------------------------------
+    # geometry checks (reference :510-664)
+
+    def _tracing_elements(self) -> list:
+        """z-sorted [Lens|Filter|Aperture] plus the implicit end absorber at
+        the outline z-end (reference :492-508)."""
+        o = self.outline
+        end_filter = Aperture(RectangularSurface(dim=[o[1] - o[0], o[3] - o[2]]),
+                              pos=[(o[1] + o[0]) / 2, (o[2] + o[3]) / 2, o[5]])
+        elements = [el for el in self.elements if isinstance(el, (Lens, Filter, Aperture))]
+        return elements + [end_filter]
+
+    @staticmethod
+    def check_collision(front, back, res: int = 100):
+        """Sampled collision check between two surfaces/points/lines
+        (reference :580-664). Returns (collision?, x, y, z samples)."""
+        if not (isinstance(front, Surface) or isinstance(back, Surface)):
+            raise TypeError("At least one object needs to be a Surface for collision detection")
+
+        if isinstance(front, Point) or isinstance(back, Point):
+            rev, pt, surf = (False, front, back) if isinstance(front, Point) else (True, back, front)
+            x, y = np.array([pt.pos[0]]), np.array([pt.pos[1]])
+            z = surf.values(x, y)
+            hit = (z < pt.pos[2]) if not rev else (z > pt.pos[2])
+            hit = hit & surf.mask(x, y)
+            where = np.where(hit)[0]
+            return bool(np.any(hit)), x[where], y[where], z[where]
+
+        if isinstance(front, Line) or isinstance(back, Line):
+            rev, line, surf = (False, front, back) if isinstance(front, Line) else (True, back, front)
+            t = np.linspace(-line.r, line.r, 10 * res)
+            ang = np.deg2rad(line.angle)
+            x = line.pos[0] + np.cos(ang) * t
+            y = line.pos[1] + np.sin(ang) * t
+            z = surf.values(x, y)
+            hit = (z < line.pos[2]) if not rev else (z > line.pos[2])
+            hit = hit & surf.mask(x, y)
+            where = np.where(hit)[0]
+            return bool(np.any(hit)), x[where], y[where], z[where]
+
+        xsf, xef, ysf, yef, zsf, zef = front.extent
+        xsb, xeb, ysb, yeb, zsb, zeb = back.extent
+        if zef < zsb:
+            return False, np.array([]), np.array([]), np.array([])
+
+        xs, xe = max(xsf, xsb), min(xef, xeb)
+        ys, ye = max(ysf, ysb), min(yef, yeb)
+        if xs > xe or ys > ye:
+            return False, np.array([]), np.array([]), np.array([])
+
+        Y, X = np.mgrid[ys:ye:res * 1j, xs:xe:res * 1j]
+        x2, y2 = X.flatten(), Y.flatten()
+        valid = front.mask(x2, y2) & back.mask(x2, y2)
+        x2v, y2v = x2[valid], y2[valid]
+        zfv = front.values(x2v, y2v)
+        zbv = back.values(x2v, y2v)
+        coll = zfv > zbv
+        where = np.where(coll)[0]
+        return bool(np.any(coll)), x2v[where], y2v[where], zfv[where]
+
+    def _geometry_checks(self) -> None:
+        elements = self._tracing_elements()
+
+        def is_inside(e) -> bool:
+            o = self.outline + self.N_EPS * np.array([-1, 1, -1, 1, -1, 1])
+            return o[0] <= e[0] and e[1] <= o[1] and o[2] <= e[2] and e[3] <= o[3] \
+                and o[4] <= e[4] and e[5] <= o[5]
+
+        if not self.ray_sources:
+            warning("RaySource Missing.")
+            self.geometry_error = True
+            return
+
+        coll = False
+        xc = yc = zc = np.array([])
+        for i, el in enumerate(elements):
+            if not is_inside(el.extent):
+                warning(f"Element{i} {el} with extent {el.extent} outside outline {self.outline}.")
+                self.geometry_error = True
+                return
+
+            if i + 1 < len(elements):
+                coll, xc, yc, zc = self.check_collision(el.front, elements[i + 1].front)
+            if not coll and el.has_back():
+                coll, xc, yc, zc = self.check_collision(el.front, el.back)
+            if not coll and el.has_back():
+                coll, xc, yc, zc = self.check_collision(el.back, elements[i + 1].front)
+
+            if self.use_hurb and i < len(elements) - 1 and isinstance(el, Aperture):
+                if not isinstance(el.front, (RingSurface, SlitSurface)):
+                    warning(f"Ray bending for surface type {type(el.front).__name__} not implemented.")
+                    self.geometry_error = True
+                    return
+            if coll:
+                break
+
+        if not coll:
+            for rs in self.ray_sources:
+                if not is_inside(rs.extent):
+                    warning(f"RaySource {rs} with extent {rs.extent} outside outline {self.outline}.")
+                    self.geometry_error = True
+                    return
+                if isinstance(rs.surface, (Surface, Point, Line)) and rs.pos[2] >= elements[0].extent[4]:
+                    coll, xc, yc, zc = self.check_collision(rs.surface, elements[0].front)
+                if coll:
+                    break
+
+        if coll:
+            warning(f"Detected collision between two Surfaces at {xc[0], yc[0], zc[0]}"
+                    f" and at least {xc.shape[0]} other positions.")
+            self.geometry_error = True
+            self.fault_pos = np.column_stack((xc, yc, zc))
+            return
+
+        self.geometry_error = False
+
+    def _pretrace_check(self, N: int) -> bool:
+        pc.check_type("N", N, int)
+        if N < 1:
+            raise ValueError(f"Ray number N needs to be at least 1, but is {N}.")
+        self._geometry_checks()
+        if self.geometry_error and not self._ignore_geometry_error:
+            warning("ABORTED TRACING")
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    # trace step construction
+
+    def _build_steps(self) -> list:
+        """Element list → TraceStep list (jnp-functional scene)."""
+        steps = []
+        n_before = self.n0
+        for el in self._tracing_elements():
+            if isinstance(el, IdealLens):
+                sfns = compile_surface(el.front)
+                n2 = el.n2 if el.n2 is not None else self.n0
+                steps.append(TraceStep(sfns, "ideal", n1_fn=n_before, n2_fn=n2, D=el.D))
+                n_before = n2
+            elif isinstance(el, Lens):
+                n2 = el.n2 if el.n2 is not None else self.n0
+                steps.append(TraceStep(compile_surface(el.front), "refract",
+                                       n1_fn=n_before, n2_fn=el.n))
+                steps.append(TraceStep(compile_surface(el.back), "refract",
+                                       n1_fn=el.n, n2_fn=n2))
+                n_before = n2
+            elif isinstance(el, Filter):
+                steps.append(TraceStep(compile_surface(el.front), "filter",
+                                       spectrum_fn=el.spectrum))
+            elif isinstance(el, Aperture):
+                kind = "ring" if isinstance(el.front, RingSurface) \
+                    else ("slit" if isinstance(el.front, SlitSurface) else "")
+                steps.append(TraceStep(compile_surface(el.front), "absorb",
+                                       hurb=bool(kind), hurb_kind=kind))
+        return steps
+
+    def _make_source_fn(self, N: int):
+        """Device ray generation for all sources with static per-source counts."""
+        sources = self.ray_sources
+        N_list = [int(n) for n in self.rays.N_list]
+        no_pol = self.no_pol
+
+        def gen(key):
+            ps, ss, pols, ws, wls = [], [], [], [], []
+            keys = jax.random.split(key, len(sources))
+            for src, Ni, k in zip(sources, N_list, keys):
+                if Ni == 0:
+                    continue
+                p, s, pol, w, wl = src.create_rays(k, Ni, no_pol=no_pol, power=src.power)
+                ps.append(p); ss.append(s); pols.append(pol); ws.append(w); wls.append(wl)
+            cat = lambda xs: jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
+            return cat(ps), cat(ss), cat(pols), cat(ws), cat(wls)
+        return gen
+
+    # ------------------------------------------------------------------
+    # tracing
+
+    def trace(self, N: int) -> None:
+        """Trace N rays through the geometry (reference :262-415)."""
+        N = int(N)
+        if self._pretrace_check(N):
+            return
+
+        nt = len(self.tracing_surfaces) + 2
+        if self.rays.storage_size(N, nt, self.no_pol) > self.MAX_RAY_STORAGE_RAM:
+            raise RuntimeError(f"More than {self.MAX_RAY_STORAGE_RAM * 1e-9:.1f} GB RAM requested. "
+                               "Either decrease the number of rays, surfaces or do an iterative "
+                               "render, or increase Raytracer.MAX_RAY_STORAGE_RAM.")
+
+        bar = ProgressBar("Raytracing: ", 3)
+        self.rays.init(self.ray_sources, N, nt, self.no_pol, seed=self._seed_counter)
+
+        fn = self._get_trace_fn(N)
+        bar.update()
+
+        self._seed_counter += 1
+        key = jax.random.PRNGKey(self._seed_counter)
+        out = fn(key)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        bar.update()
+
+        s0 = out["p"][:, 1] - out["p"][:, 0]
+        norm = np.linalg.norm(s0, axis=-1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s0 = np.where(norm > 0, s0 / norm, s0)
+        self.rays.fill(out["p"], out["w"], out["pol"], out["n"], out["wl"], s0)
+        self.rays.lock()
+
+        self._msgs = np.asarray(out["infos"], dtype=int)
+        self._show_messages(N)
+        bar.finish()
+
+        self._last_trace_snapshot = self.tracing_snapshot()
+
+    def _get_trace_fn(self, N: int):
+        """Jitted trace function, cached per (scene snapshot, N)."""
+        snap = repr(dict(Ambient=[tuple(self.outline), self.n0.crepr()],
+                         TraceSettings=[self.no_pol, self.use_hurb],
+                         Lenses=[D.crepr() for D in self.lenses],
+                         Filters=[D.crepr() for D in self.filters],
+                         Apertures=[D.crepr() for D in self.apertures],
+                         RaySources=[D.crepr() for D in self.ray_sources],
+                         N_list=tuple(self.rays.N_list)))
+        cache_key = (hash(snap), N)
+        if cache_key in self._trace_cache:
+            return self._trace_cache[cache_key]
+
+        steps = self._build_steps()
+        gen = self._make_source_fn(N)
+        outline = tuple(float(v) for v in self.outline)
+        n0_fn = self.n0
+        no_pol, use_hurb = self.no_pol, self.use_hurb
+
+        @jax.jit
+        def run(key):
+            k_src, k_trace = jax.random.split(key)
+            p, s, pols, w, wl = gen(k_src)
+            return trace_bundle(steps, n0_fn, outline, p, s, pols, w, wl,
+                                no_pol, use_hurb, key=k_trace)
+
+        if len(self._trace_cache) > 8:
+            self._trace_cache.clear()
+        self._trace_cache[cache_key] = run
+        return run
+
+    # ------------------------------------------------------------------
+    # messages
+
+    def _surface_names(self) -> list:
+        names = dict()
+        for type_, els in zip(["Lens", "Aperture", "Filter"],
+                              [self.lenses, self.apertures, self.filters]):
+            for i, el in enumerate(els):
+                if not el.has_back() or isinstance(el, IdealLens):
+                    names[f"surface of {type_} {el.abbr}{i}"] = el.pos[2]
+                else:
+                    names[f"front surface of {type_} {el.abbr}{i}"] = el.front.pos[2]
+                    names[f"back surface of {type_} {el.abbr}{i}"] = el.back.pos[2]
+        return ["RaySource"] + sorted(names, key=lambda k: names[k]) + ["Outline"]
+
+    def _show_messages(self, N: int) -> None:
+        surf_name = self._surface_names()
+        msgs = self._msgs
+        texts = {
+            int(self.INFOS.TIR): "with total inner reflection at surface {s}, treating as absorbed.",
+            int(self.INFOS.ABSORB_MISSING): "missing lens surface {s}, set to absorbed",
+            int(self.INFOS.ILL_COND): "are ill-conditioned for numerical hit finding at surface {s}. "
+                                      "Where and whether they intersect might be wrong.",
+            int(self.INFOS.OUTLINE_INTERSECTION): "hitting outline after surface {s}, set to absorbed.",
+            int(self.INFOS.HURB_NEG_DIR): "have negative z-direction after ray bending at surface {s},"
+                                          " set to absorbed.",
+        }
+        for type_ in range(msgs.shape[0]):
+            for surf in range(msgs.shape[1]):
+                if (count := msgs[type_, surf]):
+                    sname = surf_name[surf] if surf < len(surf_name) else f"{surf}"
+                    warning(f"{count} rays ({100 * count / N:.3g}% of all rays) "
+                            + texts[type_].format(s=f"{surf} ({sname})"))
+
+    # ------------------------------------------------------------------
+    # detector hit search (reference :881-1051), vectorized over sections
+
+    def _hit_detector(self, info: str, detector_index: int = 0, source_index: int = None,
+                      extent=None, projection_method: str = "Equidistant"):
+        if not self.detectors:
+            raise RuntimeError("Detector Missing")
+        if not self.rays.N:
+            raise RuntimeError("No rays traced.")
+        if source_index is not None and (source_index > len(self.ray_sources) - 1 or source_index < 0):
+            raise IndexError("Invalid source_index.")
+        if detector_index > len(self.detectors) - 1 or detector_index < 0:
+            raise IndexError("Invalid detector_index.")
+        if not self.check_if_rays_are_current():
+            raise RuntimeError("Tracing geometry/properties changed. Please retrace first.")
+
+        bar = ProgressBar(f"{info}: ", 2)
+        Ns, Ne = self.rays.B_list[source_index:source_index + 2] if source_index is not None \
+            else (0, self.rays.N)
+
+        dsurf = self.detectors[detector_index].surface
+        sfns = compile_surface(dsurf)
+        det_zmin = float(dsurf.z_min)
+
+        p_all = jnp.asarray(self.rays.p_list[Ns:Ne], dtype=jnp.float32)
+        w_all = jnp.asarray(self.rays.w_list[Ns:Ne])
+        wl = np.asarray(self.rays.wl_list[Ns:Ne])
+        nt = p_all.shape[1]
+
+        from .detector import detector_hits
+
+        @jax.jit
+        def hits(p_all, w_all):
+            return detector_hits(sfns, det_zmin, p_all, w_all)
+
+        ph, w, ish, n_ill = jax.tree_util.tree_map(np.asarray, hits(p_all, w_all))
+        bar.update()
+
+        hitw = ish & (w > 0)
+        ph, w, wl = ph[hitw].astype(np.float64), w[hitw], wl[hitw]
+        ill_count = int(n_ill)
+
+        if isinstance(dsurf, SphericalSurface) and projection_method is not None:
+            ph = dsurf.sphere_projection(ph, projection_method)
+            projection = projection_method
+        else:
+            projection = None
+
+        if isinstance(extent, (list, np.ndarray)):
+            inside = (extent[0] <= ph[:, 0]) & (ph[:, 0] <= extent[1]) \
+                & (extent[2] <= ph[:, 1]) & (ph[:, 1] <= extent[3])
+            extent_out = np.asarray(np.array(extent).copy(), dtype=np.float64)
+            pc.check_finite("extent", extent_out)
+            ph, w, wl = ph[inside], w[inside], wl[inside]
+        elif extent is None:
+            extent_out = self.detectors[detector_index].pos[:2].repeat(2)
+            if np.any(hitw):
+                extent_out[[0, 2]] = np.min(ph[:, :2], axis=0)
+                extent_out[[1, 3]] = np.max(ph[:, :2], axis=0)
+        else:
+            raise ValueError(f"Invalid extent '{extent}'.")
+
+        return ph, w, wl, extent_out, projection, bar, ill_count
+
+    # ------------------------------------------------------------------
+    # image / spectrum rendering
+
+    def detector_image(self, detector_index: int = 0, source_index: int = None,
+                       extent=None, limit: float = None,
+                       projection_method: str = "Equidistant", **kwargs) -> RenderImage:
+        """Render the detector image (reference :1053-1098)."""
+        if limit is not None and extent is not None and "_dont_filter" not in kwargs:
+            warning("Using the limit parameter with a user defined extent will produce an "
+                    "incorrect detector image, as rays outside the extent are not convolved.")
+
+        p, w, wl, extent_out, projection, bar, ill_count = \
+            self._hit_detector("Detector Image", detector_index, source_index, extent, projection_method)
+
+        detector = self.detectors[detector_index]
+        pname = f": {detector.desc}" if detector.desc != "" else ""
+        desc = f"{Detector.abbr}{detector_index}{pname} at z = {detector.pos[2]:.5g} mm"
+        if source_index is not None:
+            desc = f"Rays from RS{source_index} at " + desc
+
+        img = RenderImage(long_desc=desc, extent=extent_out, projection=projection)
+        img.render(p, w, wl, limit=limit, **kwargs)
+        bar.finish()
+
+        if ill_count:
+            warning(f"{ill_count} rays ({100 * ill_count / self.rays.N:.3g}% of all rays) were "
+                    f"ill-conditioned for hit finding at detector {detector_index}.")
+        return img
+
+    def detector_spectrum(self, detector_index: int = 0, source_index: int = None,
+                          extent=None, **kwargs) -> LightSpectrum:
+        """Render the detector spectrum (reference :1100-1132)."""
+        p, w, wl, extent, _, bar, ill_count = \
+            self._hit_detector("Detector Spectrum", detector_index, source_index, extent)
+        detector = self.detectors[detector_index]
+        pname = f": {detector.desc}" if detector.desc != "" else ""
+        desc = f"{Detector.abbr}{detector_index}{pname} at z = {detector.pos[2]:.5g} mm"
+        desc = (f"Spectrum of RS{source_index} at " if source_index is not None else "Spectrum at ") + desc
+        spec = LightSpectrum.render(wl, w, long_desc=desc, **kwargs)
+        bar.finish()
+        return spec
+
+    def _hit_source(self, info: str, source_index: int = 0):
+        if not self.ray_sources:
+            raise RuntimeError("Ray Sources Missing.")
+        if not self.rays.N:
+            raise RuntimeError("No rays traced.")
+        if source_index > len(self.ray_sources) - 1 or source_index < 0:
+            raise IndexError("Invalid source_index.")
+        if not self.check_if_rays_are_current():
+            raise RuntimeError("Tracing geometry/properties changed. Please retrace first.")
+
+        bar = ProgressBar(f"{info}: ", 2)
+        extent = self.ray_sources[source_index].extent[:4]
+        p, _, _, w, wl = self.rays.source_sections(source_index)
+        bar.update()
+        return p, w, wl, extent, bar
+
+    def source_spectrum(self, source_index: int = 0, **kwargs) -> LightSpectrum:
+        """Render the spectrum of one source (reference :1312-1330)."""
+        p, w, wl, extent, bar = self._hit_source("Source Spectrum", source_index)
+        rs = self.ray_sources[source_index]
+        pname = f": {rs.desc}" if rs.desc != "" else ""
+        desc = f"Spectrum of {RaySource.abbr}{source_index}{pname} at z = {rs.pos[2]:.5g} mm"
+        spec = LightSpectrum.render(wl, w, long_desc=desc, **kwargs)
+        bar.finish()
+        return spec
+
+    def source_image(self, source_index: int = 0, limit: float = None, **kwargs) -> RenderImage:
+        """Render the image of one source (reference :1332-1352)."""
+        p, w, wl, extent, bar = self._hit_source("Source Image", source_index)
+        rs = self.ray_sources[source_index]
+        pname = f": {rs.desc}" if rs.desc != "" else ""
+        desc = f"{RaySource.abbr}{source_index}{pname} at z = {rs.pos[2]:.5g} mm"
+        img = RenderImage(long_desc=desc, extent=extent, projection=None)
+        img.render(p, w, wl, limit=limit, **kwargs)
+        bar.finish()
+        return img
+
+    # ------------------------------------------------------------------
+    # iterative (megabatched) rendering (reference :1134-1279)
+
+    def iterative_render(self, N, detector_index=0, limit=None,
+                         projection_method="Equidistant", pos=None, extent=None) -> list:
+        """Accumulate detector images over ITER_RAYS_STEP-sized traces."""
+        if not self.ray_sources:
+            raise RuntimeError("Ray Source(s) Missing.")
+        if not self.detectors:
+            raise RuntimeError("Detector(s) Missing.")
+        if (N := int(N)) <= 0:
+            raise ValueError(f"Ray number N_rays needs to be a positive int, but is {N}.")
+
+        if pos is None:
+            if isinstance(detector_index, list):
+                raise ValueError("detector_index list needs to have the same length as pos list")
+            pos = [self.detectors[detector_index].pos]
+        elif isinstance(pos, list) and not isinstance(pos[0], (list, np.ndarray)):
+            pos = [pos]
+
+        if not isinstance(detector_index, list):
+            detector_index = [detector_index] * len(pos)
+        elif len(detector_index) != len(pos):
+            raise ValueError("detector_index list needs to have the same length as pos list")
+        if not isinstance(limit, list):
+            limit = [limit] * len(pos)
+        elif len(limit) != len(pos):
+            raise ValueError("limit list needs to have the same length as pos list")
+        if not isinstance(projection_method, list):
+            projection_method = [projection_method] * len(pos)
+        elif len(projection_method) != len(pos):
+            raise ValueError("projection_method list needs to have the same length as pos list")
+        if not isinstance(extent, list) or isinstance(extent[0], (int, float)):
+            extent = [extent] * len(pos)
+        elif len(extent) != len(pos):
+            raise ValueError("extent list needs to have the same length as pos list")
+        extentc = list(extent).copy()
+
+        rays_step = self.ITER_RAYS_STEP
+        iterations = max(1, int(N / rays_step))
+        bar = ProgressBar("Rendering: ", iterations)
+
+        DIm_res = []
+        if self._pretrace_check(min(rays_step, N)):
+            raise RuntimeError("Geometry checks failed. Tracing aborted. Check the warnings.")
+
+        nt = len(self.tracing_surfaces) + 2
+        msgs_cum = np.zeros((N_INFOS, nt), dtype=int)
+
+        for i in range(iterations):
+            if i == iterations - 1:
+                rays_step += int(N - iterations * rays_step)
+
+            with global_options.no_warnings(), global_options.no_progress_bar():
+                self.trace(N=rays_step)
+                if self._msgs.shape == msgs_cum.shape:
+                    msgs_cum += self._msgs
+
+            for j in range(len(pos)):
+                self.detectors[detector_index[j]].move_to(pos[j])
+                with global_options.no_progress_bar(), global_options.no_warnings():
+                    Imi = self.detector_image(detector_index=detector_index[j],
+                                              extent=extentc[j], limit=limit[j], _dont_filter=True,
+                                              projection_method=projection_method[j])
+                Imi._data *= rays_step / N
+                if i == 0:
+                    DIm_res.append(Imi)
+                    extentc[j] = Imi._extent0
+                else:
+                    DIm_res[j]._data += Imi._data
+            bar.update()
+
+        for i, DIm in enumerate(DIm_res):
+            if limit[i] is not None:
+                DIm._limit = limit[i]
+                DIm._apply_rayleigh_filter()
+
+        bar.finish()
+        self._msgs = msgs_cum
+        self._show_messages(N)
+        return DIm_res
+
+    # ------------------------------------------------------------------
+    # focus search (reference :1354-1632)
+
+    def _focus_search_cost(self, z_pos, mode, pa, sb, w):
+        ph = pa + sb * z_pos
+        x, y = ph[:, 0], ph[:, 1]
+
+        if mode == "RMS Spot Size":
+            var_x = np.cov(x, aweights=w)
+            var_y = np.cov(y, aweights=w)
+            return float(np.sqrt(var_x + var_y))
+
+        N_px = 100 * int(1 + np.sqrt(w.shape[0]) / 1500)
+        N_px = N_px if N_px % 2 else N_px + 1
+
+        ext = [x.min(), x.max(), y.min(), y.max()]
+        img = np.asarray(binning.bin_scalar(jnp.asarray(x), jnp.asarray(y), jnp.asarray(w),
+                                            N_px, N_px, ext))
+
+        if mode in ("Image Sharpness", "Image Center Sharpness"):
+            if mode == "Image Center Sharpness":
+                Y, X = np.mgrid[-1:1:N_px * 1j, -1:1:N_px * 1j]
+                R = np.sqrt(X ** 2 + Y ** 2)
+                win = np.where(R > 1, 0, 1 + np.cos(R * np.pi))
+                img0 = img * win
+                if (s := img0.sum()):
+                    img0 = img0 / s
+            else:
+                img0 = img
+            rsm = ((img0[1:] - img0[:-1]) ** 2).sum() + ((img0[:, 1:] - img0[:, :-1]) ** 2).sum()
+            return float(-rsm)
+
+        # Irradiance Variance
+        imgnz = img[img > 0]
+        Ap = (ext[1] - ext[0]) * (ext[3] - ext[2]) / N_px ** 2
+        return float(-np.log(imgnz.var() / Ap ** 2))
+
+    def _focus_rms_direct(self, pa, sb, w, bounds):
+        """Closed-form weighted RMS-spot minimum (reference :1420-1460)."""
+        pb0 = np.average(pa + sb * bounds[0], axis=0, weights=w)
+        pb1 = np.average(pa + sb * bounds[1], axis=0, weights=w)
+        vx, vy = pb1[0] - pb0[0], pb1[1] - pb0[1]
+        vz = bounds[1] - bounds[0]
+        dx = pa[:, 0] - pb0[0]
+        dy = pa[:, 1] - pb0[1]
+        dtx = sb[:, 0] - vx / vz
+        dty = sb[:, 1] - vy / vz
+        w2 = w ** 2
+        dnorm = np.sum(w2 * dtx ** 2 + w2 * dty ** 2)
+        d = -np.sum(dtx * dx * w2 + dty * dy * w2) / dnorm if dnorm else np.mean(bounds)
+        d = float(np.clip(d, bounds[0], bounds[1]))
+        res = scipy.optimize.OptimizeResult()
+        res.x = d
+        res.fun = self._focus_search_cost(d, "RMS Spot Size", pa, sb, w)
+        return res
+
+    def focus_search(self, method: str, z_start: float, source_index: int = None,
+                     return_cost: bool = False):
+        """Find the focus along z near z_start (reference :1463-1632).
+
+        :return: (scipy OptimizeResult, dict(pos, bounds, z, cost, N))
+        """
+        if not (self.outline[4] <= z_start <= self.outline[5]):
+            raise ValueError(f"Starting position z_start={z_start} outside raytracer "
+                             f"z-outline range {self.outline[4:]}.")
+        if method not in self.focus_search_methods:
+            raise ValueError(f"Invalid method '{method}', should be one of {self.focus_search_methods}.")
+        if not self.rays.N:
+            raise RuntimeError("No rays traced.")
+        if source_index is not None and source_index < 0:
+            raise IndexError(f"source_index needs to be >= 0, but is {source_index}")
+        if (source_index is not None and source_index > len(self.rays.N_list)) or len(self.rays.N_list) == 0:
+            raise IndexError(f"source_index={source_index} larger than number of simulated sources.")
+        if not self.check_if_rays_are_current():
+            raise RuntimeError("Tracing geometry/properties changed. Please retrace first.")
+
+        b0 = self.N_EPS + np.max([rs.extent[5] for rs in self.ray_sources])
+        b1 = self.outline[5] - self.N_EPS
+        for surf in self.tracing_surfaces:
+            if surf.z_max > z_start:
+                b1 = surf.z_min
+                break
+            b0 = surf.z_max
+        bounds = [b0, b1]
+
+        Nt = 320
+        Ns, Ne = self.rays.B_list[source_index:source_index + 2] if source_index is not None \
+            else (0, self.rays.N)
+
+        rays_pos = np.zeros(self.rays.N, dtype=bool)
+        pos_idx = np.zeros(self.rays.N, dtype=int)
+        rays_pos[Ns:Ne] = True
+        # f32-aware tolerance: stored section positions carry ~eps·|z| noise,
+        # so a section sitting exactly on the bound must count as before it
+        z = bounds[0] + max(1e-4 * max(1.0, abs(bounds[0])), self.N_EPS)
+        pos_idx[Ns:Ne] = np.argmax(z < self.rays.p_list[rays_pos, :, 2], axis=1) - 1
+        rays_pos[pos_idx == -1] = False
+
+        N_use = int(np.count_nonzero(rays_pos))
+        if N_use < 1000:
+            warning(f"WARNING: Less than 1000 rays for focus_search ({N_use}).")
+        if N_use <= 1:
+            return scipy.optimize.OptimizeResult(), \
+                dict(pos=[np.nan, np.nan, np.nan], bounds=bounds, z=np.full(Nt, np.nan),
+                     cost=np.full(Nt, np.nan), N=N_use)
+
+        pos_sel = pos_idx[np.where(rays_pos)[0]]
+        p, s, _, weights, _, _, _ = self.rays.rays_by_mask(rays_pos, pos_sel, ret=[1, 1, 0, 1, 0, 0, 0])
+
+        pa = p - s / s[:, 2, np.newaxis] * p[:, 2, np.newaxis]
+        sb = s / s[:, 2, np.newaxis]
+
+        r = vals = None
+        if return_cost or method in ("Image Sharpness", "Image Center Sharpness"):
+            r = np.linspace(bounds[0], bounds[1], Nt)
+            vals = np.array([self._focus_search_cost(ri, method, pa, sb, weights) for ri in r])
+
+        if method == "RMS Spot Size":
+            res = self._focus_rms_direct(pa, sb, weights, bounds)
+        else:
+            cost2 = lambda zv, m: self._focus_search_cost(zv[0], m, pa, sb, weights)
+            if method == "Irradiance Variance":
+                res = scipy.optimize.minimize(cost2, np.mean(bounds), args=method,
+                                              options={'maxiter': 100}, bounds=[bounds],
+                                              method="Nelder-Mead")
+            else:
+                p0 = r[int(np.argmin(vals))]
+                res = scipy.optimize.minimize(cost2, p0, args=method,
+                                              options={'maxiter': 30}, bounds=[bounds],
+                                              method="COBYLA")
+            res.x = float(np.atleast_1d(res.x)[0])
+
+        rrl = (res.x - bounds[0]) < 10 * (bounds[1] - bounds[0]) / Nt
+        rrr = (bounds[1] - res.x) < 10 * (bounds[1] - bounds[0]) / Nt
+        if rrl or rrr:
+            warning("Found minimum near search bounds, "
+                    "this can mean the focus is outside of the search range.")
+
+        pos_avg = tuple(np.average(pa + sb * res.x, axis=0, weights=weights))
+        if not return_cost:
+            r = vals = None
+        return res, dict(pos=pos_avg, bounds=bounds, z=r, cost=vals, N=N_use)

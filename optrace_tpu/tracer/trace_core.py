@@ -1,0 +1,311 @@
+"""The surface-sequential trace as a pure jnp function.
+
+TPU-native rebuild of the reference hot loop
+(optrace/tracer/raytracer.py:262-415 and the physics at :417-879,
+SURVEY.md §3.1): the Python-thread/slice parallelism becomes a single
+vectorized bundle (shardable over a mesh axis), the per-surface element
+loop is unrolled at trace time over static scene structure, and all
+branching is masked arithmetic.
+
+Physics implemented per step (all references into raytracer.py):
+- vectorial Snell + Fresnel transmission with polarization projection
+  (:761-829), TIR → absorbed + counted (:821-826)
+- polarization transport in the s/p decomposition (:831-879)
+- ideal-lens refraction (:720-759)
+- filter transmission / aperture absorption with optional HURB
+  edge-diffraction bending (:417-490)
+- outline-box escape absorption (:666-718)
+- "Broken sequentiality" / miss / ill-conditioned bookkeeping (INFOS)
+"""
+
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import geom
+from ..ops.vector import rdot, cross, normalize_safe
+from .scene_compile import SurfaceFns
+
+INV_SQRT2 = 1.0 / np.sqrt(2.0)
+
+# INFOS rows (reference raytracer.py:43-49)
+ABSORB_MISSING, TIR, ILL_COND, OUTLINE_INTERSECTION, HURB_NEG_DIR = range(5)
+N_INFOS = 5
+
+HURB_FACTOR = np.sqrt(2.0)
+
+
+class TraceStep(NamedTuple):
+    """One light-interacting surface in the unrolled trace."""
+    sfns: SurfaceFns
+    action: str                      # "refract" | "ideal" | "filter" | "absorb"
+    n1_fn: Optional[Callable] = None  # wl -> n before surface (refract)
+    n2_fn: Optional[Callable] = None  # wl -> n after surface (refract/ideal)
+    spectrum_fn: Optional[Callable] = None   # wl -> T (filter)
+    D: float = 0.0                   # optical power in dpt (ideal)
+    hurb: bool = False               # HURB bending at this aperture
+    hurb_kind: str = ""              # "ring" | "slit"
+
+
+# ----------------------------------------------------------------------
+# helpers
+
+def _surface_hit(step: TraceStep, p, s, hw):
+    """Hit solve + abnormal clamping + aperture mask for one surface.
+
+    Dead rays (not hw) stay in place (reference :309-312 copies sections).
+    Returns (p_new, hit, ill, n_broken).
+    """
+    params = step.sfns.params
+    pos = params["pos"]
+    o = p - pos
+    t, valid, ill = step.sfns.hit_fn(params, o, s)
+    t2, ok, broken = geom.clamp_abnormal(o, s, t, valid, params["z_max_rel"])
+    p_hit = p + t2[:, None] * s
+    rel = p_hit - pos
+    hit = step.sfns.mask_fn(params, rel[:, 0], rel[:, 1]) & ok
+    p_new = jnp.where(hw[:, None], p_hit, p)
+    hit = hit & hw
+    return p_new, hit, ill & hw, jnp.sum((broken & hw).astype(jnp.int32))
+
+
+def _compute_polarization(s, s_, pols, upd, no_pol):
+    """s/p decomposition of polarization across a direction change
+    (reference :831-879). Returns (A_ts, A_tp, new_pols)."""
+    if no_pol:
+        return INV_SQRT2, INV_SQRT2, pols
+
+    changed = jnp.any(s != s_, axis=-1)
+    ps = normalize_safe(cross(s_, s))
+    pp = cross(ps, s)
+    A_ts = rdot(ps, pols)
+    A_tp = rdot(pp, pols)
+    A_ts = jnp.where(changed, A_ts, INV_SQRT2)
+    A_tp = jnp.where(changed, A_tp, INV_SQRT2)
+    pp_ = cross(ps, s_)
+    pol_new = ps * A_ts[:, None] + pp_ * A_tp[:, None]
+    m = (upd & changed)[:, None]
+    return A_ts, A_tp, jnp.where(m, pol_new, pols)
+
+
+def _outline_intersection(p_prev, p_new, s, w, outline):
+    """Kill rays leaving the outline box; intersect them with the box
+    (reference :666-718). Returns (p_out, w_out, count)."""
+    xs, xe, ys, ye, zs, ze = [outline[i] for i in range(6)]
+    x, y, z = p_new[:, 0], p_new[:, 1], p_new[:, 2]
+    inside = (xs < x) & (x < xe) & (ys < y) & (y < ye) & (zs < z) & (z < ze)
+    out = ~inside & (w > 0)
+
+    # smallest positive t to any of the 6 box planes, from the previous section
+    ol = jnp.stack([jnp.full_like(x, xs), jnp.full_like(x, xe),
+                    jnp.full_like(x, ys), jnp.full_like(x, ye),
+                    jnp.full_like(x, zs), jnp.full_like(x, ze)], axis=-1)
+    P6 = jnp.repeat(p_prev, 2, axis=-1)
+    S6 = jnp.repeat(s, 2, axis=-1)
+    T = (ol - P6) / jnp.where(S6 != 0, S6, 1e-30)
+    T = jnp.where(T <= 0, jnp.inf, T)
+    t = jnp.min(T, axis=-1)
+    t = jnp.where(jnp.isfinite(t), t, 0.0)
+
+    p_box = p_prev + t[:, None] * s
+    p_out = jnp.where(out[:, None], p_box, p_new)
+    w_out = jnp.where(out, 0.0, w)
+    return p_out, w_out, jnp.sum(out.astype(jnp.int32))
+
+
+def _refract(step: TraceStep, p_new, s, w, wl, pols, hit, no_pol):
+    """Snell + Fresnel at a refracting surface (reference :761-829)."""
+    params = step.sfns.params
+    rel = p_new - params["pos"]
+    n = step.sfns.normal_fn(params, rel[:, 0], rel[:, 1])
+
+    n1 = step.n1_fn(wl)
+    n2 = step.n2_fn(wl)
+
+    ns = rdot(n, s)                      # cos(alpha)
+    Nq = n1 / n2
+    W2 = 1.0 - Nq * Nq * (1.0 - ns * ns)
+    tir = W2 < 0.0
+    # grad-safe sqrt: push the argument away from 0 before the sqrt
+    W = jnp.sqrt(jnp.where(tir, 1.0, W2))
+    W = jnp.where(tir, 0.0, W)           # cos(beta)
+    s_ = s * Nq[:, None] - n * (Nq * ns - W)[:, None]
+
+    upd = hit & ~tir
+    A_ts, A_tp, pols_new = _compute_polarization(s, s_, pols, upd, no_pol)
+
+    n1ca = n1 * ns
+    n2cb = n2 * W
+    ts = 2.0 * n1ca / (n1ca + n2cb)
+    tp = 2.0 * n1ca / (n2 * ns + n1 * W)
+    T = n2cb / n1ca * ((A_ts * ts) ** 2 + (A_tp * tp) ** 2)
+    T = jnp.where(tir, 0.0, T)
+
+    w_new = jnp.where(hit, w * T, w)
+    s_new = jnp.where(upd[:, None], s_, s)
+    n_tir = jnp.sum((tir & hit).astype(jnp.int32))
+    return s_new, w_new, pols_new, n_tir
+
+
+def _refract_ideal(step: TraceStep, p_new, s, pols, hit, no_pol):
+    """Ideal-lens refraction (reference :720-759): focuses to the paraxial
+    image plane without aberrations. f in mm = 1000/D[dpt]."""
+    params = step.sfns.params
+    f = 1000.0 / step.D
+    fsz = f / s[:, 2]
+    sx = s[:, 0] * fsz - (p_new[:, 0] - params["pos"][0])
+    sy = s[:, 1] * fsz - (p_new[:, 1] - params["pos"][1])
+    s_ = jnp.stack([sx, sy, jnp.full_like(sx, f)], axis=-1)
+    s_ = normalize_safe(s_) * np.sign(f)
+
+    _, _, pols_new = _compute_polarization(s, s_, pols, hit, no_pol)
+    s_new = jnp.where(hit[:, None], s_, s)
+    return s_new, pols_new
+
+
+def _hurb(step: TraceStep, key, p_new, s, w, wl, n_amb, pols, bend_candidates, no_pol):
+    """Heisenberg-uncertainty ray bending at a Ring/Slit aperture opening
+    (reference :417-490): tangent-direction Gaussian perturbation with
+    tanσ = HURB_FACTOR/(2·a·cosψ·k)."""
+    params = step.sfns.params
+    rel = p_new - params["pos"]
+    x, y = rel[:, 0], rel[:, 1]
+
+    if step.hurb_kind == "ring":
+        R = params["ri"]
+        r = jnp.sqrt(x * x + y * y)
+        theta = jnp.arctan2(y, x)
+        b_ = R - r
+        a_ = jnp.sqrt(jnp.maximum(b_ * R, 0.0))
+        b_vec = jnp.stack([jnp.cos(theta), jnp.sin(theta), jnp.zeros_like(theta)], axis=-1)
+        inside = r < R
+    else:   # slit
+        ang = params["angle"]
+        c, sn = jnp.cos(ang), jnp.sin(ang)
+        x_, y_ = x * c + y * sn, -x * sn + y * c
+        a_ = params["hhi"] - jnp.abs(y_)
+        b_ = params["hwi"] - jnp.abs(x_)
+        inside = (a_ > 0) & (b_ > 0)
+        ca = jnp.cos(ang) * jnp.ones_like(x)
+        sa = jnp.sin(ang) * jnp.ones_like(x)
+        b_vec = jnp.stack([ca, sa, jnp.zeros_like(x)], axis=-1)
+
+    bend = bend_candidates & inside
+
+    a_vec = jnp.stack([-b_vec[:, 1], b_vec[:, 0], jnp.zeros_like(x)], axis=-1)
+    cpa2 = 1.0 - rdot(s, a_vec) ** 2
+    cpb2 = 1.0 - rdot(s, b_vec) ** 2
+    cos_psi_a = jnp.sqrt(jnp.where(cpa2 > 1e-12, cpa2, 1e-12))
+    cos_psi_b = jnp.sqrt(jnp.where(cpb2 > 1e-12, cpb2, 1e-12))
+
+    k = 2.0 * jnp.pi * n_amb / (wl * 1e-9)
+    safe_a = jnp.where(a_ > 0, a_, 1.0)
+    safe_b = jnp.where(b_ > 0, b_, 1.0)
+    tan_sig_a = HURB_FACTOR / (2.0 * safe_a * cos_psi_a * 1e-3 * k)
+    tan_sig_b = HURB_FACTOR / (2.0 * safe_b * cos_psi_b * 1e-3 * k)
+
+    k1, k2 = jax.random.split(key)
+    tan_tha = jax.random.normal(k1, x.shape) * jnp.abs(tan_sig_a)
+    tan_thb = jax.random.normal(k2, x.shape) * jnp.abs(tan_sig_b)
+
+    sa_dir = normalize_safe(cross(b_vec, s))
+    sb_dir = cross(s, sa_dir)
+    sab = s + sa_dir * tan_tha[:, None] + sb_dir * tan_thb[:, None]
+    s_new = jnp.where(bend[:, None], normalize_safe(sab), s)
+
+    neg = (s_new[:, 2] < 0) & bend
+    w_new = jnp.where(neg, 0.0, w)
+    n_neg = jnp.sum(neg.astype(jnp.int32))
+
+    _, _, pols_new = _compute_polarization(s, s_new, pols, bend, no_pol)
+    return s_new, w_new, pols_new, n_neg
+
+
+# ----------------------------------------------------------------------
+# the unrolled trace
+
+def trace_bundle(steps: list, n0_fn: Callable, outline,
+                 p, s, pols, w, wl, no_pol: bool,
+                 use_hurb: bool, key=None):
+    """Trace a ray bundle through the unrolled step list.
+
+    :param steps: list[TraceStep] including the implicit end absorber
+    :param n0_fn: ambient index wl -> n
+    :param outline: 6-element outline box
+    :param p, s, pols, w, wl: initial ray state from the sources
+    :return: dict with stacked per-section arrays p (N, nt, 3), w (N, nt),
+             pols (N, nt, 3), n (N, nt) and the INFOS counter matrix
+             (N_INFOS, nt) — nt = len(steps) + 1 sections.
+    """
+    sections_p = [p]
+    sections_w = [w]
+    sections_pol = [pols]
+    sections_n = [n0_fn(wl)]
+    infos = [jnp.zeros((N_INFOS,), dtype=jnp.int32)]
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    for idx, step in enumerate(steps):
+        info = jnp.zeros((N_INFOS,), dtype=jnp.int32)
+        hw = w > 0.0
+        p_prev = p
+
+        p, hit, ill, n_broken = _surface_hit(step, p, s, hw)
+        info = info.at[ILL_COND].add(jnp.sum(ill.astype(jnp.int32)))
+
+        if step.action == "refract":
+            # rays missing the surface are absorbed (reference :320-327)
+            miss = hw & ~hit
+            w = jnp.where(miss, 0.0, w)
+            # absorbed-at-miss rays keep the previous position on back
+            # surfaces (reference :352-355) — here: clamped position stays
+            info = info.at[ABSORB_MISSING].add(jnp.sum(miss.astype(jnp.int32)))
+            s, w, pols, n_tir = _refract(step, p, s, w, wl, pols, hit, no_pol)
+            info = info.at[TIR].add(n_tir)
+            n_after = step.n2_fn(wl)
+
+        elif step.action == "ideal":
+            miss = hw & ~hit
+            w = jnp.where(miss, 0.0, w)
+            info = info.at[ABSORB_MISSING].add(jnp.sum(miss.astype(jnp.int32)))
+            s, pols = _refract_ideal(step, p, s, pols, hit, no_pol)
+            n_after = step.n2_fn(wl)
+
+        elif step.action == "filter":
+            T = step.spectrum_fn(wl)
+            w = jnp.where(hit, w * T, w)
+            n_after = sections_n[-1]
+
+        elif step.action == "absorb":
+            w = jnp.where(hit, 0.0, w)
+            passing = hw & ~hit
+            if use_hurb and step.hurb:
+                key, sub = jax.random.split(key)
+                n_amb = sections_n[-1]
+                s, w, pols, n_neg = _hurb(step, sub, p, s, w, wl, n_amb, pols,
+                                          passing, no_pol)
+                info = info.at[HURB_NEG_DIR].add(n_neg)
+            n_after = sections_n[-1]
+        else:  # pragma: no cover
+            raise RuntimeError(f"unknown action {step.action}")
+
+        p, w, n_out = _outline_intersection(p_prev, p, s, w, outline)
+        info = info.at[OUTLINE_INTERSECTION].add(n_out)
+
+        sections_p.append(p)
+        sections_w.append(w)
+        sections_pol.append(pols)
+        sections_n.append(n_after)
+        infos.append(info)
+
+    return {
+        "p": jnp.stack(sections_p, axis=1),
+        "w": jnp.stack(sections_w, axis=1),
+        "pol": jnp.stack(sections_pol, axis=1),
+        "n": jnp.stack(sections_n, axis=1),
+        "wl": wl,
+        "infos": jnp.stack(infos, axis=1),   # (N_INFOS, nt)
+    }

@@ -98,7 +98,7 @@ class BaseClass:
         if lock and not key.startswith("_"):
             raise RuntimeError(f"Object '{self.get_desc()}' is read-only (locked). "
                                f"Cannot set property '{key}'. Use copy() for a mutable version.")
-        if new_lock and key not in self.__dict__:
+        if new_lock and key not in self.__dict__ and not hasattr(type(self), key):
             raise AttributeError(f"Unknown property '{key}' for type {type(self).__name__}.")
         object.__setattr__(self, key, val)
 
