@@ -23,6 +23,8 @@ from .geometry import (Surface, CircularSurface, RingSurface, ConicSurface,  # n
                        Volume, BoxVolume, SphereVolume, CylinderVolume)
 from .image import RGBImage, GrayscaleImage, ScalarImage, RenderImage  # noqa: F401
 from .tracer import Raytracer, RayStorage  # noqa: F401
+from .analysis import TMA, convolve  # noqa: F401
+from .io import load_agf, load_zmx  # noqa: F401
 from . import presets  # noqa: F401
 
 from .metadata import version, __version__  # noqa: F401

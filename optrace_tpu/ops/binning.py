@@ -60,6 +60,40 @@ def bin_scalar(px, py, w, Nx: int, Ny: int, extent) -> jnp.ndarray:
     return img.reshape(Ny, Nx)
 
 
+def bin_xyzw_soft(px, py, w, wl, Nx: int, Ny: int, extent) -> jnp.ndarray:
+    """Differentiable XYZW binning via bilinear splatting.
+
+    Each ray deposits into the 4 pixels around its continuous position with
+    bilinear weights, making the image a smooth function of ray positions —
+    this is what gives detector images usable design gradients (the hard
+    histogram in :func:`bin_xyzw` is piecewise constant in position).
+    """
+    x0, x1, y0, y1 = extent[0], extent[1], extent[2], extent[3]
+    gx = (px - x0) / (x1 - x0) * Nx - 0.5
+    gy = (py - y0) / (y1 - y0) * Ny - 0.5
+
+    ix = jnp.floor(gx)
+    iy = jnp.floor(gy)
+    fx = gx - ix
+    fy = gy - iy
+    ix = ix.astype(jnp.int32)
+    iy = iy.astype(jnp.int32)
+
+    inside = (gx >= -0.5) & (gx <= Nx - 0.5) & (gy >= -0.5) & (gy <= Ny - 0.5)
+    wm = jnp.where(inside, w, 0.0)
+
+    xyzw = jnp.stack([x_observer(wl) * wm, y_observer(wl) * wm,
+                      z_observer(wl) * wm, wm], axis=-1)
+
+    img = jnp.zeros((Ny * Nx, 4), dtype=xyzw.dtype)
+    for dy, wy in ((0, 1.0 - fy), (1, fy)):
+        for dx, wx in ((0, 1.0 - fx), (1, fx)):
+            xi = jnp.clip(ix + dx, 0, Nx - 1)
+            yi = jnp.clip(iy + dy, 0, Ny - 1)
+            img = img.at[yi * Nx + xi].add(xyzw * (wx * wy)[:, None])
+    return img.reshape(Ny, Nx, 4)
+
+
 def histogram_1d(x, w, N: int, x0, x1) -> jnp.ndarray:
     """Weighted 1D histogram with inclusive upper edge (spectrum render)."""
     xi = jnp.floor(N / (x1 - x0) * (x - x0)).astype(jnp.int32)

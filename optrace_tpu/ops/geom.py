@@ -157,15 +157,21 @@ def mask_slit(x, y, half_w, half_h, half_wi, half_hi, angle_rad=0.0):
 # hits (relative coords o = p − pos; t is the ray parameter)
 
 def hit_plane(o, s):
-    """Intersection with the plane z=0 (through the vertex)."""
-    return -o[..., 2] / s[..., 2]
+    """Intersection with the plane z=0 (through the vertex). sz=0 rays
+    (e.g. dead zero-length segments) give t=inf with a finite VJP."""
+    sz = s[..., 2]
+    ok = sz != 0
+    t = -o[..., 2] / jnp.where(ok, sz, 1.0)
+    return jnp.where(ok, t, jnp.inf)
 
 
 def hit_tilted(o, s, n):
     """Intersection with the plane through the vertex with unit normal n."""
     num = -(o[..., 0] * n[0] + o[..., 1] * n[1] + o[..., 2] * n[2])
     den = s[..., 0] * n[0] + s[..., 1] * n[1] + s[..., 2] * n[2]
-    return num / den
+    ok = den != 0
+    t = num / jnp.where(ok, den, 1.0)
+    return jnp.where(ok, t, jnp.inf)
 
 
 def hit_conic(o, s, rho, k, z_min_rel, z_max_rel):
@@ -278,14 +284,18 @@ def clamp_abnormal(o, s, t, valid_surface, z_max_rel):
     """
     oz = o[..., 2]
     sz = s[..., 2]
-    z_hit = oz + t * sz
+    t_fin = jnp.isfinite(t)
+    t_safe = jnp.where(t_fin, t, 0.0)
+    z_hit = oz + t_safe * sz
 
     beh = oz > z_max_rel + N_EPS
     neg = z_hit < oz - C_EPS
-    bad = ~valid_surface | neg
+    bad = ~valid_surface | neg | ~t_fin
 
-    t_zmax = (z_max_rel - oz) / sz
-    t_out = jnp.where(bad & ~beh, t_zmax, t)
+    sz_ok = sz != 0
+    t_zmax = (z_max_rel - oz) / jnp.where(sz_ok, sz, 1.0)
+    t_zmax = jnp.where(sz_ok, t_zmax, 0.0)
+    t_out = jnp.where(bad & ~beh, t_zmax, t_safe)
     t_out = jnp.where(beh, 0.0, t_out)
 
     ok = ~(bad | beh)

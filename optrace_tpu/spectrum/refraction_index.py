@@ -18,8 +18,11 @@ import jax.numpy as jnp
 
 from .spectrum import Spectrum
 from .. import color
-from ..presets import spectral_lines as Lines
 from ..utils.property_checker import PropertyChecker as pc
+
+# default Abbe lines F, d, C (same values as presets.spectral_lines.FdC,
+# duplicated here to avoid a circular import through the presets package)
+_FdC_LINES = [486.1327, 587.5618, 656.272]
 
 
 COEFF_COUNT = {"Cauchy": 4, "Conrady": 3, "Sellmeier1": 6, "Sellmeier2": 5, "Sellmeier3": 8,
@@ -107,7 +110,7 @@ class RefractionIndex(Spectrum):
         self.spectrum_type = n_type
         self.coeff = coeff
         self.V = V
-        lines = lines if lines is not None else Lines.FdC
+        lines = lines if lines is not None else _FdC_LINES
         super().__init__(n_type, val=n, lines=lines, **kwargs)
         self._new_lock = True
 

@@ -104,8 +104,10 @@ def _outline_intersection(p_prev, p_new, s, w, outline):
                     jnp.full_like(x, zs), jnp.full_like(x, ze)], axis=-1)
     P6 = jnp.repeat(p_prev, 2, axis=-1)
     S6 = jnp.repeat(s, 2, axis=-1)
-    T = (ol - P6) / jnp.where(S6 != 0, S6, 1e-30)
-    T = jnp.where(T <= 0, jnp.inf, T)
+    # guard with 1.0 (not a tiny eps): 1/eps² overflows f32 in the VJP
+    valid_dir = S6 != 0
+    T = (ol - P6) / jnp.where(valid_dir, S6, 1.0)
+    T = jnp.where(valid_dir & (T > 0), T, jnp.inf)
     t = jnp.min(T, axis=-1)
     t = jnp.where(jnp.isfinite(t), t, 0.0)
 
