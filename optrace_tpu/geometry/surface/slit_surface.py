@@ -16,6 +16,7 @@ class SlitSurface(RectangularSurface):
     def __init__(self, dim, dimi, **kwargs) -> None:
         super().__init__(dim, **kwargs)
         self._lock = False
+        self._new_lock = False
         self.dimi = np.asarray(dimi, dtype=np.float64)
         pc.check_finite("dimi", self.dimi)
         self.lock()
