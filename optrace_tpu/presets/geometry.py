@@ -12,7 +12,7 @@ import numpy as np
 
 from ..geometry import (Group, Lens, IdealLens, Aperture, Detector,
                         SphericalSurface, ConicSurface, CircularSurface,
-                        RingSurface, RectangularSurface)
+                        RingSurface, RectangularSurface, Volume)
 from ..geometry.volume import BoxVolume
 from ..spectrum.refraction_index import RefractionIndex
 
@@ -68,9 +68,9 @@ def arizona_eye(adaptation: float = 0.0, pupil: float = 5.7, r_det: float = 8.0,
     cornea = Lens(cornea_front, cornea_back, d1=0, d2=0.55, pos=pos,
                   n=n_cornea, n2=n_aqueous, desc="Cornea")
 
-    # pupil aperture
+    # pupil aperture directly in front of the lens (published model layout)
     ap = Aperture(RingSurface(r=5.45, ri=pupil / 2),
-                  pos=pos + [0, 0, 3.3], desc="Pupil")
+                  pos=pos + [0, 0, 0.55 + d_aq - 1e-9], desc="Pupil")
 
     # crystalline lens
     lens_front = ConicSurface(r=5.1, R=12.0 - 0.4 * A, k=-7.518749 + 1.285720 * A)
@@ -82,7 +82,13 @@ def arizona_eye(adaptation: float = 0.0, pupil: float = 5.7, r_det: float = 8.0,
     retina = Detector(SphericalSurface(r=r_det, R=-13.4),
                       pos=pos + [0, 0, 24.0], desc="Retina")
 
-    return Group([cornea, ap, lens, retina], n0=None, desc="Arizona Eye Model")
+    # eye-ball display volume (conic pair with matching edge radii)
+    vol_front = ConicSurface(r=12.776270, R=14.8152, k=0.344612)
+    vol_back = ConicSurface(r=12.776270, R=-13.4, k=0.1)
+    vol = Volume(vol_front, vol_back, pos=retina.pos,
+                 d1=vol_front.ds + vol_back.ds, d2=0, color=(1, 1, 0.95))
+
+    return Group([cornea, ap, lens, retina, vol], n0=None, desc="Arizona Eye Model")
 
 
 def legrand_eye(pupil: float = 5.7, r_det: float = 8.0, pos=None) -> Group:
@@ -96,14 +102,22 @@ def legrand_eye(pupil: float = 5.7, r_det: float = 8.0, pos=None) -> Group:
     n_vitreous = RefractionIndex("Constant", n=1.3360, desc="Vitreous")
 
     cornea = Lens(SphericalSurface(r=5.5, R=7.8), SphericalSurface(r=5.5, R=6.5),
-                  d1=0, d2=0.55, pos=pos, n=n_cornea, n2=n_aqueous, desc="Cornea")
-    ap = Aperture(RingSurface(r=5.5, ri=pupil / 2), pos=pos + [0, 0, 3.05], desc="Pupil")
+                  d1=0.25, d2=0.30, pos=pos + [0, 0, 0.25], n=n_cornea, n2=n_aqueous,
+                  desc="Cornea")
+    # pupil at z=3.6 mm, coinciding with the anterior lens surface
+    ap = Aperture(RingSurface(r=5.5, ri=pupil / 2), pos=pos + [0, 0, 3.6], desc="Pupil")
     lens = Lens(SphericalSurface(r=4.8, R=10.2), SphericalSurface(r=4.8, R=-6.0),
-                d1=0, d2=4.0, pos=pos + [0, 0, 3.6], n=n_lens, n2=n_vitreous, desc="Lens")
+                d1=1.5, d2=2.5, pos=pos + [0, 0, 5.10], n=n_lens, n2=n_vitreous,
+                desc="Lens")
     retina = Detector(SphericalSurface(r=r_det, R=-13.4),
                       pos=pos + [0, 0, 24.197], desc="Retina")
 
-    return Group([cornea, ap, lens, retina], n0=None, desc="LeGrand Eye Model")
+    vol_front = ConicSurface(r=12.776270, R=14.8152, k=0.344612)
+    vol_back = ConicSurface(r=12.776270, R=-13.4, k=0.1)
+    vol = Volume(vol_front, vol_back, pos=retina.pos,
+                 d1=vol_front.ds + vol_back.ds, d2=0, color=(1.0, 1.0, 0.95))
+
+    return Group([cornea, ap, lens, retina, vol], n0=None, desc="LeGrand Eye Model")
 
 
 def double_gauss(with_detector: bool = True) -> Group:
@@ -155,3 +169,7 @@ def double_gauss(with_detector: bool = True) -> Group:
                        pos=[0, 0, L_6.back.pos[2] + 73.839])
         G.add(det)
     return G
+
+
+eye_models: list = [legrand_eye, arizona_eye]
+geometries: list = [ideal_camera, *eye_models]
