@@ -1,0 +1,143 @@
+"""Headless GUI tests (reference test_gui.py strategy, without Qt): real
+scene construction, automation API, picking, property observers, commands."""
+
+import numpy as np
+import pytest
+
+import matplotlib
+matplotlib.use("Agg")
+
+import optrace_tpu as ot
+from optrace_tpu.gui import TraceGUI
+
+
+def tracing_geometry():
+    """shared fixture geometry in the spirit of the reference
+    tests/tracing_geometry.py: sources, lenses (incl. ideal), aperture,
+    filter, detectors, markers, volumes."""
+    RT = ot.Raytracer(outline=[-12, 12, -12, 12, -12, 80])
+    RT.add(ot.RaySource(ot.CircularSurface(r=1), pos=[0, 0, -10], divergence="Lambertian",
+                        div_angle=3, spectrum=ot.presets.light_spectrum.d65))
+    RT.add(ot.RaySource(ot.Point(), pos=[0, 1, -10], divergence="Isotropic",
+                        div_angle=3, spectrum=ot.presets.light_spectrum.FDC, power=0.5))
+    n = ot.presets.refraction_index.BK7
+    RT.add(ot.Lens(ot.SphericalSurface(r=4, R=25), ot.SphericalSurface(r=4, R=-25),
+                   n=n, pos=[0, 0, 0], d=1.0))
+    RT.add(ot.IdealLens(r=4, D=10, pos=[0, 0, 6]))
+    RT.add(ot.Aperture(ot.RingSurface(r=5, ri=2.5), pos=[0, 0, 10]))
+    RT.add(ot.Filter(ot.CircularSurface(r=5), pos=[0, 0, 14],
+                     spectrum=ot.TransmissionSpectrum("Gaussian", mu=550, sig=80)))
+    RT.add(ot.Detector(ot.RectangularSurface(dim=[10, 10]), pos=[0, 0, 40]))
+    RT.add(ot.Detector(ot.SphericalSurface(r=5, R=-30), pos=[0, 0, 60]))
+    RT.add(ot.PointMarker("mark", pos=[0, 0, 20]))
+    RT.add(ot.BoxVolume(dim=[4, 4], length=5, pos=[0, 0, 30]))
+    return RT
+
+
+@pytest.fixture(scope="module")
+def gui():
+    RT = tracing_geometry()
+    g = TraceGUI(RT, ray_count=5000)
+    ot.global_options.show_progress_bar = False
+    with ot.global_options.no_warnings():
+        g.init_scene()
+    yield g
+    g.close()
+    ot.global_options.show_progress_bar = True
+
+
+class TestTraceGUI:
+
+    def test_scene_initialized(self, gui):
+        assert gui.raytracer.rays.N == 5000
+        assert gui.scene.fig is not None
+
+    def test_screenshot(self, gui, tmp_path):
+        p = str(tmp_path / "scene.png")
+        arr = gui.screenshot(p)
+        assert arr.ndim == 3 and arr.shape[2] == 3
+        import os
+        assert os.path.getsize(p) > 0
+
+    def test_camera(self, gui):
+        gui.set_camera(center=[0, 0, 20], height=30)
+        center, height, direction, roll = gui.get_camera()
+        np.testing.assert_allclose(center, [0, 0, 20], atol=1e-6)
+        assert height == pytest.approx(30)
+
+    def test_coloring_modes(self, gui):
+        with ot.global_options.no_warnings():
+            for mode in gui.coloring_modes:
+                gui.coloring_mode = mode
+        gui.coloring_mode = "Plain"
+        with pytest.raises(ValueError):
+            gui.coloring_mode = "Bogus"
+
+    def test_pick_ray(self, gui):
+        txt = gui.pick_ray(10)
+        assert "Ray 10" in txt and "wavelength" in txt
+        txt = gui.pick_ray_section(10, 1)
+        assert "Section 1" in txt
+        gui.reset_picking()
+        with pytest.raises(ValueError):
+            gui.pick_ray(10 ** 9)
+
+    def test_select_rays(self, gui):
+        mask = np.zeros(gui.raytracer.rays.N, dtype=bool)
+        mask[:100] = True
+        gui.select_rays(mask)
+        assert gui.ray_selection.sum() == 100
+
+    def test_control(self, gui):
+        result = []
+        gui.control(lambda g, a: result.append((g, a)), args=(42,))
+        assert result[0][0] is gui and result[0][1] == 42
+
+    def test_detector_actions(self, gui):
+        with ot.global_options.no_warnings():
+            img = gui.detector_image()
+            assert img.power() > 0
+            gui.detector_selection = "DET1"
+            gui.projection_method = "Stereographic"
+            gui.detector_spectrum()
+            gui.detector_selection = "DET0"
+
+    def test_source_actions(self, gui):
+        with ot.global_options.no_warnings():
+            gui.source_selection = "RS1"
+            img = gui.source_image()
+            assert img.power() == pytest.approx(0.5, abs=1e-3)
+            gui.source_spectrum()
+            gui.source_selection = "RS0"
+
+    def test_move_to_focus(self, gui):
+        with ot.global_options.no_warnings():
+            z0 = gui.raytracer.detectors[0].pos[2]
+            gui.move_to_focus()
+            assert gui.raytracer.detectors[0].pos[2] != z0
+            gui.raytracer.detectors[0].move_to([0, 0, z0])
+
+    def test_run_command_smart_replot(self, gui):
+        with ot.global_options.no_warnings():
+            n0 = gui.raytracer.rays.N
+            gui.run_command("RT.ray_sources[0].power = 2.0")
+            # power change triggers a retrace through smart_replot
+            assert gui.raytracer.check_if_rays_are_current()
+            gui.run_command("RT.ray_sources[0].power = 1.0")
+
+    def test_custom_ui(self, gui):
+        called = []
+        gui.add_custom_checkbox("cb", True, lambda v: called.append(("cb", v)))
+        gui.add_custom_button("btn", lambda: called.append(("btn",)))
+        gui.add_custom_value("val", 1.5, lambda v: called.append(("val", v)))
+        gui.add_custom_selection("sel", ["a", "b"], "a", lambda v: called.append(("sel", v)))
+        with ot.global_options.no_warnings():
+            gui.set_custom_checkbox("cb", False)
+            gui.press_custom_button("btn")
+            gui.set_custom_value("val", 2.0)
+            gui.set_custom_selection("sel", "b")
+        assert [c[0] for c in called] == ["cb", "btn", "val", "sel"]
+
+    def test_property_observer_replots_rays(self, gui):
+        gui.rays_visible = 500
+        assert gui.ray_selection.sum() <= 500
