@@ -23,10 +23,29 @@ def observers():
     return _OBS_WL, _OBS_XYZ[0], _OBS_XYZ[1], _OBS_XYZ[2]
 
 
+_WL0 = float(_OBS_WL[0])
+_WL1 = float(_OBS_WL[-1])
+# zero-padded table so index clamping also zeroes out-of-range wavelengths
+_OBS_PAD = np.pad(_OBS_XYZ, ((0, 0), (1, 1)))
+
+
 def _interp(wl, row: int):
+    """Uniform-grid linear interpolation (1 nm steps): direct index
+    arithmetic instead of jnp.interp's binary search — the observer lookup
+    sits on the per-ray hot path of detector binning, where searchsorted
+    costs ~50 ms per channel per megaray on TPU."""
     wl = jnp.asarray(wl)
-    return jnp.interp(wl, jnp.asarray(_OBS_WL), jnp.asarray(_OBS_XYZ[row]),
-                      left=0.0, right=0.0)
+    g = wl - _WL0
+    idx = jnp.floor(g)
+    frac = g - idx
+    n = _OBS_PAD.shape[1]
+    # +1 accounts for the zero padding at the front
+    i0 = jnp.clip(idx.astype(jnp.int32) + 1, 0, n - 2)
+    table = jnp.asarray(_OBS_PAD[row])
+    v0 = table[i0]
+    v1 = table[i0 + 1]
+    inside = (g >= 0) & (wl <= _WL1)
+    return jnp.where(inside, v0 * (1.0 - frac) + v1 * frac, 0.0)
 
 
 def x_observer(wl) -> jnp.ndarray:

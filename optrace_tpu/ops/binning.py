@@ -60,6 +60,29 @@ def bin_scalar(px, py, w, Nx: int, Ny: int, extent) -> jnp.ndarray:
     return img.reshape(Ny, Nx)
 
 
+def bin_xyzw_sorted(px, py, w, wl, Nx: int, Ny: int, extent) -> jnp.ndarray:
+    """XYZW binning via sort + prefix-sum + boundary gather.
+
+    TPU alternative to the scatter-add in :func:`bin_xyzw`: XLA lowers
+    scatter to a serialized loop on TPU, while sort/cumsum/gather are fast
+    native ops. Identical result (up to f32 summation order).
+    """
+    xi, yi, wm = binning_indices_2d(px, py, w, Nx, Ny, extent)
+    keys = yi * Nx + xi
+    xyzw = jnp.stack([x_observer(wl) * wm, y_observer(wl) * wm,
+                      z_observer(wl) * wm, wm], axis=-1)
+
+    order = jnp.argsort(keys)
+    ks = keys[order]
+    vs = xyzw[order]
+
+    csum = jnp.cumsum(vs, axis=0)
+    csum0 = jnp.concatenate([jnp.zeros((1, 4), csum.dtype), csum], axis=0)
+    edges = jnp.searchsorted(ks, jnp.arange(Ny * Nx + 1))
+    out = csum0[edges[1:]] - csum0[edges[:-1]]
+    return out.reshape(Ny, Nx, 4)
+
+
 def bin_xyzw_soft(px, py, w, wl, Nx: int, Ny: int, extent) -> jnp.ndarray:
     """Differentiable XYZW binning via bilinear splatting.
 

@@ -6,3 +6,4 @@ counters and (in the differentiable path) parameter gradients — all psum.
 """
 
 from .render import make_sharded_render, make_fused_render, default_mesh  # noqa: F401
+from .checkpoint import RenderCheckpoint  # noqa: F401

@@ -19,7 +19,7 @@ from jax.experimental.shard_map import shard_map
 
 from ..tracer.scene_compile import compile_surface
 from ..tracer.trace_core import trace_bundle
-from ..tracer.detector import detector_hits
+from ..tracer.detector import detector_hits, build_segment_mask
 from ..ops import binning
 
 
@@ -45,6 +45,8 @@ def make_fused_render(RT, N_batch: int, detector_index: int = 0,
     dsurf = RT.detectors[detector_index].surface
     sfns = compile_surface(dsurf)
     det_zmin = float(dsurf.z_min)
+    seg_mask = tuple(build_segment_mask(RT._section_z_bounds(),
+                                        det_zmin, float(dsurf.z_max)))
     if extent is None:
         extent = dsurf.extent[:4]
     ext = tuple(float(v) for v in extent)
@@ -54,7 +56,8 @@ def make_fused_render(RT, N_batch: int, detector_index: int = 0,
         p, s, pols, w, wl = gen(k_src)
         out = trace_bundle(steps, n0_fn, outline, p, s, pols, w, wl,
                            no_pol, use_hurb, key=k_trace)
-        ph, wsel, is_hit, _ = detector_hits(sfns, det_zmin, out["p"], out["w"])
+        ph, wsel, is_hit, _ = detector_hits(sfns, det_zmin, out["p"], out["w"],
+                                            segment_mask=seg_mask)
         wm = jnp.where(is_hit, wsel, 0.0)
         return binning.bin_xyzw(ph[:, 0], ph[:, 1], wm, out["wl"], Nx, Ny, ext)
 

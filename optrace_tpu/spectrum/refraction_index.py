@@ -133,8 +133,13 @@ class RefractionIndex(Spectrum):
                 if wlmin < self._wls[0] or wlmax > self._wls[-1]:
                     raise RuntimeError(f"Wavelength range [{wlmin:.5g}, {wlmax:.5g}] larger than data "
                                        f"range [{self._wls[0]}, {self._wls[-1]}] for this material.")
-            # clamp instead of extrapolating (outside access already rejected above)
-            ns = jnp.interp(wl_, jnp.asarray(self._wls), jnp.asarray(self._vals))
+            # clamp instead of extrapolating (outside access already rejected
+            # above); uniform wls grid → index-arithmetic interp
+            from ..ops.interp import uniform_interp
+            v = jnp.asarray(self._vals)
+            ns = uniform_interp(wl_, v, float(self._wls[0]),
+                                float(self._wls[1] - self._wls[0]),
+                                left=v[0], right=v[-1])
         elif st == "Function":
             pc.check_callable("RefractionIndex.func", self.func)
             ns = jnp.asarray(self.func(wl_, **self.func_args))

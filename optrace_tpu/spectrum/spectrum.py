@@ -79,8 +79,11 @@ class Spectrum(BaseClass):
         if st == "Data":
             pc.check_type("Spectrum.wls", self._wls, (np.ndarray, list))
             pc.check_type("Spectrum.vals", self._vals, (np.ndarray, list))
-            return jnp.interp(wl_, jnp.asarray(self._wls), jnp.asarray(self._vals),
-                              left=0.0, right=0.0)
+            # wls validation enforces a uniform grid → index-arithmetic interp
+            from ..ops.interp import uniform_interp
+            return uniform_interp(wl_, jnp.asarray(self._vals),
+                                  float(self._wls[0]), float(self._wls[1] - self._wls[0]),
+                                  left=0.0, right=0.0)
 
         if st == "Rectangle":
             inside = (self.wl0 <= wl_) & (wl_ <= self.wl1)

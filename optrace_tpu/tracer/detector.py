@@ -13,13 +13,33 @@ from ..ops import geom
 from .scene_compile import SurfaceFns
 
 
-def detector_hits(sfns: SurfaceFns, det_zmin: float, p_all, w_all):
+def build_segment_mask(section_z_bounds: list, det_zmin: float, det_zmax: float) -> list:
+    """Static per-segment relevance: segment j (between stored sections j
+    and j+1) can contain a detector hit only if the detector z-range
+    overlaps [section_j.z_min, section_{j+1}.z_max]."""
+    eps = 1e-3
+    mask = []
+    for j in range(len(section_z_bounds) - 1):
+        lo = section_z_bounds[j][0] - eps
+        hi = section_z_bounds[j + 1][1] + eps
+        mask.append(det_zmin <= hi and det_zmax >= lo)
+    if not any(mask):
+        mask = [True] * (len(section_z_bounds) - 1)
+    return mask
+
+
+def detector_hits(sfns: SurfaceFns, det_zmin: float, p_all, w_all,
+                  segment_mask: list = None):
     """Find detector intersections for all rays.
 
     :param sfns: compiled detector surface
     :param det_zmin: detector z-extent minimum (first-reach criterion)
     :param p_all: stored positions (N, nt, 3)
     :param w_all: stored weights (N, nt)
+    :param segment_mask: optional static per-segment booleans; segments
+        whose section z-ranges cannot contain the detector are skipped
+        entirely (big win when the detector sits behind the last surface:
+        the scan collapses from nt−1 segments to one or two)
     :return: (ph (N,3), w_sel (N,), is_hit (N,), n_ill scalar)
     """
     nt = p_all.shape[1]
@@ -31,6 +51,8 @@ def detector_hits(sfns: SurfaceFns, det_zmin: float, p_all, w_all):
     n_ill = jnp.zeros((), dtype=jnp.int32)
 
     for j in range(nt - 1):
+        if segment_mask is not None and not segment_mask[j]:
+            continue
         pj = p_all[:, j]
         pj1 = p_all[:, j + 1]
         seg = pj1 - pj

@@ -414,6 +414,16 @@ class Raytracer(Group):
     # ------------------------------------------------------------------
     # detector hit search (reference :881-1051), vectorized over sections
 
+    def _section_z_bounds(self) -> list:
+        """Static (z_min, z_max) per stored ray section: sources, one per
+        tracing surface, and the end absorber at the outline z-end."""
+        src_z = [rs.extent[4:6] for rs in self.ray_sources]
+        bounds = [(min(z[0] for z in src_z), max(z[1] for z in src_z))]
+        for surf in self.tracing_surfaces:
+            bounds.append((float(surf.z_min), float(surf.z_max)))
+        bounds.append((float(self.outline[5]), float(self.outline[5])))
+        return bounds
+
     def _hit_detector(self, info: str, detector_index: int = 0, source_index: int = None,
                       extent=None, projection_method: str = "Equidistant"):
         if not self.detectors:
@@ -438,13 +448,14 @@ class Raytracer(Group):
         p_all = jnp.asarray(self.rays.p_list[Ns:Ne], dtype=jnp.float32)
         w_all = jnp.asarray(self.rays.w_list[Ns:Ne])
         wl = np.asarray(self.rays.wl_list[Ns:Ne])
-        nt = p_all.shape[1]
 
-        from .detector import detector_hits
+        from .detector import detector_hits, build_segment_mask
+        seg_mask = tuple(build_segment_mask(self._section_z_bounds(),
+                                            det_zmin, float(dsurf.z_max)))
 
         @jax.jit
         def hits(p_all, w_all):
-            return detector_hits(sfns, det_zmin, p_all, w_all)
+            return detector_hits(sfns, det_zmin, p_all, w_all, segment_mask=seg_mask)
 
         ph, w, ish, n_ill = jax.tree_util.tree_map(np.asarray, hits(p_all, w_all))
         bar.update()
