@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..tracer.scene_compile import compile_surface
 from ..tracer.trace_core import trace_bundle

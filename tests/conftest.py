@@ -28,6 +28,11 @@ if _AXON_SITE in os.environ.get("PYTHONPATH", ""):
 
 import jax  # noqa: E402
 
+# a sitecustomize.py may have imported jax (and registered the TPU tunnel
+# plugin) before this conftest ran, in which case the env mutations above
+# came too late — force the platform through the live config instead
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
