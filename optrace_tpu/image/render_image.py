@@ -18,11 +18,6 @@ import scipy.constants
 import scipy.special
 import scipy.signal
 
-try:
-    import cv2
-except ImportError:   # pragma: no cover
-    cv2 = None
-
 from ..utils.base_class import BaseClass
 from ..utils.property_checker import PropertyChecker as pc
 from .rgb_image import RGBImage
@@ -94,59 +89,63 @@ class RenderImage(BaseClass):
         return float(self.K * np.sum(self._data[:, :, 1]))
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _block_mean(arr: np.ndarray, f: int) -> np.ndarray:
+        """Downscale by exact f×f bin joining (all SIZES divide 945, so the
+        reduction is lossless block averaging — no interpolation)."""
+        if f == 1:
+            return arr.copy()
+        ny, nx = arr.shape[0] // f, arr.shape[1] // f
+        return arr[:ny * f, :nx * f].reshape(ny, f, nx, f, -1).mean(axis=(1, 3))
+
+    def _scalar_channel(self, mode: str, stack: np.ndarray) -> np.ndarray:
+        """Extract one physical/colorimetric quantity from a downsampled
+        XYZW stack. Irradiance/illuminance divide by the *full-resolution*
+        pixel area: block-averaged power per bin keeps that normalization."""
+        if mode == "Irradiance":
+            return stack[:, :, 3] / self.Apx
+        if mode == "Illuminance":
+            return self.K / self.Apx * stack[:, :, 1]
+
+        xyz = jnp.asarray(stack[:, :, :3])
+        if mode == "Outside sRGB Gamut":
+            return np.asarray(color.outside_srgb_gamut(xyz), dtype=np.float64)
+
+        luv = color.xyz_to_luv(xyz)
+        per_luv = {"Lightness (CIELUV)": lambda: np.asarray(luv)[:, :, 0],
+                   "Hue (CIELUV)": lambda: np.asarray(color.luv_hue(luv)),
+                   "Chroma (CIELUV)": lambda: np.asarray(color.luv_chroma(luv)),
+                   "Saturation (CIELUV)": lambda: np.asarray(color.luv_saturation(luv))}
+        return per_luv[mode]()
+
     def get(self, mode: str, N: int = 315, L_th: float = 0,
             chroma_scale: float = None):
-        """Convert to a display image (reference render_image.py:126-222).
+        """Convert to a display image (parity: reference render_image.py:126-222).
 
-        N: requested pixel count of the smaller side; the nearest of SIZES
-        is used and the image is downscaled by joining bins (no interp).
+        N: requested pixel count of the smaller side; snapped to the nearest
+        entry of SIZES, then the stored 945-px stack is block-averaged down.
         """
         self.__check_for_image()
+        if mode not in self.image_modes:
+            raise ValueError(f"Invalid display_mode {mode}, should be one of {self.image_modes}.")
         N = int(N)
         if not 1 <= N <= self.MAX_IMAGE_SIDE:
             raise ValueError(f"N needs to be between 1 and {self.MAX_IMAGE_SIDE}")
 
-        iargs = dict(extent=self.extent, projection=self.projection, desc=self.desc,
-                     long_desc=self.long_desc, quantity=mode, limit=self.limit)
+        side = min(self.SIZES, key=lambda s: abs(s - N))
+        stack = self._block_mean(self._data, self.MAX_IMAGE_SIDE // side)
 
-        Ny, Nx, _ = self._data.shape
-        Na = self.SIZES[int(np.argmin(np.abs(N - np.array(self.SIZES))))]
-        fact = int(self.MAX_IMAGE_SIDE / Na)
+        meta = dict(extent=self.extent, projection=self.projection, desc=self.desc,
+                    long_desc=self.long_desc, quantity=mode, limit=self.limit)
 
-        if fact != 1:
-            if cv2 is not None:
-                img = cv2.resize(self._data, [Nx // fact, Ny // fact],
-                                 interpolation=cv2.INTER_AREA)
-            else:  # bin joining fallback
-                img = self._data[:Ny // fact * fact, :Nx // fact * fact]
-                img = img.reshape(Ny // fact, fact, Nx // fact, fact, 4).mean(axis=(1, 3))
-        else:
-            img = self._data.copy()
-
-        if mode == "Irradiance":
-            return ScalarImage(img[:, :, 3] / self.Apx, **iargs)
-        if mode == "Illuminance":
-            return ScalarImage(self.K / self.Apx * img[:, :, 1], **iargs)
         if mode in ("sRGB (Absolute RI)", "sRGB (Perceptual RI)"):
-            ri = "Absolute" if mode == "sRGB (Absolute RI)" else "Perceptual"
-            data = np.asarray(color.xyz_to_srgb(jnp.asarray(img[:, :, :3]), rendering_intent=ri,
-                                                L_th=L_th, chroma_scale=chroma_scale), dtype=np.float64)
-            return RGBImage(np.clip(data, 0, 1), **iargs)
-        if mode == "Outside sRGB Gamut":
-            data = np.asarray(color.outside_srgb_gamut(jnp.asarray(img[:, :, :3])), dtype=np.float64)
-            return ScalarImage(data, **iargs)
-        if mode == "Lightness (CIELUV)":
-            return ScalarImage(np.asarray(color.xyz_to_luv(jnp.asarray(img[:, :, :3])))[:, :, 0], **iargs)
-        if mode == "Hue (CIELUV)":
-            luv = color.xyz_to_luv(jnp.asarray(img[:, :, :3]))
-            return ScalarImage(np.asarray(color.luv_hue(luv)), **iargs)
-        if mode == "Chroma (CIELUV)":
-            luv = color.xyz_to_luv(jnp.asarray(img[:, :, :3]))
-            return ScalarImage(np.asarray(color.luv_chroma(luv)), **iargs)
-        if mode == "Saturation (CIELUV)":
-            luv = color.xyz_to_luv(jnp.asarray(img[:, :, :3]))
-            return ScalarImage(np.asarray(color.luv_saturation(luv)), **iargs)
-        raise ValueError(f"Invalid display_mode {mode}, should be one of {self.image_modes}.")
+            intent = "Absolute" if "Absolute" in mode else "Perceptual"
+            rgb = np.asarray(color.xyz_to_srgb(jnp.asarray(stack[:, :, :3]),
+                                               rendering_intent=intent, L_th=L_th,
+                                               chroma_scale=chroma_scale), dtype=np.float64)
+            return RGBImage(np.clip(rgb, 0, 1), **meta)
+
+        return ScalarImage(self._scalar_channel(mode, stack), **meta)
 
     # ------------------------------------------------------------------
     def __fix_extent(self) -> None:

@@ -1,17 +1,24 @@
 """ZEMAX file import.
 
 Behavioral parity with reference ``optrace/tracer/load.py``:
-- load_agf: .agf glass catalogs → dict[name, RefractionIndex]; 13 formula
-  modes, coefficient padding, wavelength-range and Abbe-consistency checks
-- load_zmx: sequential .zmx (MM units) → Group; STANDARD/EVENASPH surfaces,
-  cemented-surface handling with 1e-7 offsets, STOP → RingSurface aperture,
-  last surface → rectangular Detector
 
-File format references: ZEMAX manual "THE ZMX FILE FORMAT" chapter and the
-.agf format description (public documentation).
+- :func:`load_agf`: ``.agf`` glass catalogs -> dict[name, RefractionIndex];
+  13 dispersion formula modes, coefficient padding, wavelength-range and
+  index/Abbe consistency checks.
+- :func:`load_zmx`: sequential ``.zmx`` (MM units) -> :class:`Group`;
+  STANDARD/EVENASPH surfaces, cemented-surface chains with 1e-7 z-offsets,
+  STOP -> RingSurface aperture, trailing passive surface -> rectangular
+  Detector, leading infinite-distance surface -> ambient medium.
+
+Both loaders are built as two-phase parsers: a tokenizer first turns the
+file into tagged records (and, for zmx, groups them into per-surface
+blocks), then a separate builder phase assembles the domain objects.  File
+format per the public ZEMAX manual ("THE ZMX FILE FORMAT" chapter) and the
+.agf glass-catalog description.
 """
 
 import os.path
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -22,249 +29,289 @@ from ..geometry import (Group, Lens, PointMarker, Detector, Aperture,
 from ..presets import spectral_lines
 from ..utils.warnings import warning
 
-_agf_modes = ["Schott", "Sellmeier1", "Herzberger", "Sellmeier2", "Conrady", "Sellmeier3",
-              "Handbook of Optics 1", "Handbook of Optics 2", "Sellmeier4", "Extended",
-              "Sellmeier5", "Extended2", "Extended3"]
-"""agf formula mode number (position+1) → dispersion model name"""
+# agf formula mode number -> dispersion model name (mode 1 is first entry)
+_AGF_FORMULAS = {
+    1: "Schott", 2: "Sellmeier1", 3: "Herzberger", 4: "Sellmeier2",
+    5: "Conrady", 6: "Sellmeier3", 7: "Handbook of Optics 1",
+    8: "Handbook of Optics 2", 9: "Sellmeier4", 10: "Extended",
+    11: "Sellmeier5", 12: "Extended2", 13: "Extended3",
+}
 
 
-def _read_lines(path: str) -> list:
-    """Read text lines with best-effort encoding detection."""
+# ----------------------------------------------------------------------
+# tokenizing
+
+def _decode_file(path: str) -> str:
+    """Read a text file, trying a codec ladder (ZEMAX exports vary)."""
     if not os.path.isfile(path):
         raise FileNotFoundError(f"{path} not found/ is not a file.")
     with open(path, "rb") as f:
-        raw = f.read()
+        blob = f.read()
 
-    encodings = ["utf-8-sig", "utf-16", "latin-1"]
+    codecs = ["utf-8-sig", "utf-16", "latin-1"]
     try:
         import chardet
-        det = chardet.detect(raw)
-        if det.get("encoding"):
-            encodings.insert(0, det["encoding"])
+        guess = chardet.detect(blob).get("encoding")
+        if guess:
+            codecs.insert(0, guess)
     except ImportError:
         pass
 
-    for enc in encodings:
+    for codec in codecs:
         try:
-            text = raw.decode(enc)
-            break
+            return blob.decode(codec).lstrip("﻿")
         except (UnicodeDecodeError, LookupError):
             continue
-    else:     # pragma: no cover
-        raise RuntimeError(f"Could not decode {path}.")
-    lines = text.splitlines(keepends=True)
-    if lines and lines[0].startswith("﻿"):
-        lines[0] = lines[0][1:]
-    return lines
+    raise RuntimeError(f"Could not decode {path}.")   # pragma: no cover
+
+
+def _tagged_records(text: str):
+    """Yield (tag, fields, trailing_text) for each non-empty line."""
+    for line in text.splitlines():
+        fields = line.split()
+        if not fields or line.startswith(" "):
+            continue
+        tag = fields[0]
+        yield tag, fields, line[len(tag) + 1:].rstrip("\r\n")
+
+
+# ----------------------------------------------------------------------
+# .agf glass catalogs
+
+def _agf_blocks(text: str) -> list[dict]:
+    """Group catalog lines into one dict of raw fields per glass entry."""
+    blocks: list[dict] = []
+    for tag, fields, _ in _tagged_records(text):
+        if tag == "NM":
+            blocks.append({"NM": fields})
+        elif blocks and tag in ("CD", "LD") and tag not in blocks[-1]:
+            blocks[-1][tag] = fields
+    return blocks
+
+
+def _glass_from_block(block: dict):
+    """Build one (name, RefractionIndex) pair from a raw glass block,
+    or None when the entry is unusable.  Emits the same consistency
+    warnings as the reference loader."""
+    nm = block["NM"]
+    name = nm[1]
+    formula_no = int(float(nm[2]))
+    if formula_no not in _AGF_FORMULAS:
+        warning(f"{name}: Unknown index formula mode number {formula_no}, skipping.")
+        return None
+    model = _AGF_FORMULAS[formula_no]
+    nd_file, abbe_file = float(nm[4]), float(nm[5])
+
+    if "CD" not in block or "LD" not in block:
+        return None
+
+    want = RefractionIndex.coeff_count[model]
+    have = [float(c) for c in block["CD"][1:]][:want]
+    have += [0.0] * (want - len(have))
+
+    try:
+        glass = RefractionIndex(model, coeff=have, desc=name)
+
+        # validity range of the formula, file stores micrometers
+        lo, hi = (float(v) * 1000 for v in block["LD"][1:3])
+        probes = spectral_lines.FdC
+        if lo > probes[0] or hi < probes[2]:
+            warning(f"{name} wavelength range [{lo}, {hi}]nm does not overlap "
+                    f"with testing wavelengths {probes}nm, skipping checks.")
+        else:
+            nd_calc = float(np.asarray(glass(np.array([spectral_lines.d])))[0])
+            abbe_calc = glass.abbe_number(probes)
+            if abs(nd_calc - nd_file) > 1e-4:
+                warning(f"{name}: Index from file is {nd_file}, but calculated "
+                        f"index is {nd_calc}. This can be due to different "
+                        "probe wavelengths.")
+            elif abs(abbe_calc - abbe_file) > 0.3:
+                warning(f"{name}: The Abbe number from file is {abbe_file}, but "
+                        f"calculated is {abbe_calc}. This can be due to "
+                        "different probe wavelengths.")
+        return name, glass
+
+    except Exception as err:
+        warning(f"Error for material {name}: {err}")
+        return None
 
 
 def load_agf(path: str) -> dict:
-    """Load an .agf material catalogue → dict[name, RefractionIndex]."""
-    lines = _read_lines(path)
-    n_dict = {}
-    skip = False
-    mode = name = None
-    nc = V = None
-    coeff = []
-
-    for lin in lines:
-        if lin[:2] == "NM":
-            skip = False
-            linw = lin.split()
-            name = linw[1]
-            ind = int(float(linw[2])) - 1
-            if ind < 0 or ind > len(_agf_modes) - 1:
-                warning(f"{name}: Unknown index formula mode number {ind + 1}, skipping.")
-                skip = True
-                continue
-            mode = _agf_modes[ind]
-            nc = float(linw[4])
-            V = float(linw[5])
-
-        elif lin[:2] == "CD" and not skip:
-            coeff0 = [float(a) for a in lin.split()[1:]]
-            cnt = RefractionIndex.coeff_count[mode]
-            coeff = coeff0[0:cnt]
-            coeff = coeff + [0.] * (cnt - len(coeff))
-
-        elif lin[:2] == "LD" and not skip:
-            try:
-                n = RefractionIndex(mode, coeff=coeff, desc=name)
-                linw = lin.split()[1:]
-                wl0 = float(linw[0]) * 1000
-                wl1 = float(linw[1]) * 1000
-                if wl0 > spectral_lines.FdC[0] or wl1 < spectral_lines.FdC[2]:
-                    warning(f"{name} wavelength range [{wl0}, {wl1}]nm does not overlap with "
-                            f"testing wavelengths {spectral_lines.FdC}nm, skipping checks.")
-                else:
-                    nc1 = float(np.asarray(n(np.array([spectral_lines.d])))[0])
-                    V1 = n.abbe_number(spectral_lines.FdC)
-                    if np.abs(nc1 - nc) > 1e-4:
-                        warning(f"{name}: Index from file is {nc}, but calculated index is {nc1}. "
-                                "This can be due to different probe wavelengths.")
-                    elif np.abs(V1 - V) > 0.3:
-                        warning(f"{name}: The Abbe number from file is {V}, but calculated is {V1}. "
-                                "This can be due to different probe wavelengths.")
-                n_dict[name] = n
-            except Exception as err:
-                warning(f"Error for material {name}: " + str(err))
-    return n_dict
+    """Load an .agf material catalogue -> dict[name, RefractionIndex]."""
+    catalog = {}
+    for block in _agf_blocks(_decode_file(path)):
+        entry = _glass_from_block(block)
+        if entry is not None:
+            catalog[entry[0]] = entry[1]
+    return catalog
 
 
-def _make_surface(surf: dict):
-    if surf["stype"] == "STANDARD":
-        if np.isfinite(surf["R"]):
-            if surf.get("k"):
-                return ConicSurface(r=surf["r"], R=surf["R"], desc=surf["desc"], k=surf["k"])
-            return SphericalSurface(r=surf["r"], R=surf["R"], desc=surf["desc"])
-        return CircularSurface(r=surf["r"], desc=surf["desc"])
-    if surf["stype"] == "EVENASPH":
-        return AsphericSurface(r=surf["r"], desc=surf["desc"], R=surf["R"],
-                               k=surf["k"], coeff=surf["parm"])
-    raise RuntimeError("Surface mode " + str(surf["stype"]) + " not supported yet.")
+# ----------------------------------------------------------------------
+# .zmx geometries
+
+@dataclass
+class _SurfRec:
+    """One parsed SURF block."""
+    kind: str = "STANDARD"
+    R: float = np.inf
+    k: float = 0.0
+    r: float = None
+    comment: str = ""
+    thick: float = 0.0
+    thick_inf: bool = False
+    parm: list = field(default_factory=lambda: [0.0] * 10)
+    glass: RefractionIndex = None
+    is_stop: bool = False
 
 
-def _zmx_to_surface_dicts(lines: list, n_dict: dict):
-    Surfaces = []
-    dds = []
-    long_desc = ""
-    n0 = None
-
-    i = 0
-    for i, l in enumerate(lines):
-        if l[:4] == "NAME":
-            long_desc = l[5:-1]
-        elif l[:4] == "UNIT":
-            unit1 = l.split()[1]
-            if unit1 != "MM":
-                raise RuntimeError(f"Unsupported Unit {unit1}.")
-        elif l[:4] == "MODE":
-            mode = l.split()[1]
-            if mode != "SEQ":
-                raise RuntimeError(f"Unsupported Mode {mode}.")
-        elif l[:4] == "SURF":
+def _parse_zmx_header(text: str) -> tuple[str, str]:
+    """Validate global keywords; return (name, text after first SURF check)."""
+    title = ""
+    for tag, fields, rest in _tagged_records(text):
+        if tag == "SURF":
             break
-    i += 1
-
-    surf_i = 0
-    while i < len(lines):
-        parm = [0.] * 10
-        dd = 0
-        surf = dict(stype="STANDARD", desc="", k=0, R=np.inf)
-        while i + 1 < len(lines) and lines[i][:4] != "SURF":
-            l = lines[i]
-            if l[2:6] == "TYPE":
-                surf["stype"] = l.split()[1]
-            elif l[2:6] == "DIAM":
-                surf["r"] = max(float(l.split()[1]), 1e-9)
-            elif l[2:6] == "CONI":
-                surf["k"] = float(l.split()[1])
-            elif l[2:6] == "COMM":
-                surf["desc"] = l[7:-1]
-            elif l[2:6] == "COAT":
-                warning(f"Coatings are not supported. Ignoring coating '{l[7:-1]}'.")
-            elif l[2:6] == "STOP":
-                surf["STOP"] = True
-            elif l[2:6] == "CURV":
-                rho = float(l.split()[1])
-                surf["R"] = 1 / rho if rho else np.inf
-            elif l[2:6] == "DISZ":
-                dd = float(l.split()[1])
-                dd = max(dd, 3 * Surface.N_EPS)
-            elif l[2:6] == "PARM":
-                ind, val = l.split()[1:3]
-                parm[int(float(ind)) - 1] = float(val)
-            elif l[2:6] == "GLAS":
-                material = l.split()[1]
-                nc, V = [float(a) for a in l.split()[4:6]] if len(l.split()) > 6 else [None, None]
-                if material == "___BLANK":
-                    surf["n"] = RefractionIndex("Abbe", n=nc, V=V)
-                elif material not in n_dict.keys():
-                    if nc is not None and V is not None and nc > 1 and V > 0:
-                        surf["n"] = RefractionIndex("Abbe", n=nc, V=V)
-                    else:
-                        raise RuntimeError(f"Material {material} missing in n_dict parameter.")
-                else:
-                    surf["n"] = n_dict[material]
-            i += 1
-
-        # zeroth surface with infinite distance defines the ambient medium
-        if surf_i == 0 and not np.isfinite(dd):
-            n0 = surf["n"] if "n" in surf else RefractionIndex("Constant", n=1)
-        else:
-            surf["parm"] = parm
-            Surfaces.append(surf)
-            dds.append(dd)
-        surf_i += 1
-        i += 1
-
-    return Surfaces, dds, n0, long_desc
+        if tag == "NAME":
+            title = rest.rstrip("\n\r")
+        elif tag == "UNIT" and fields[1] != "MM":
+            raise RuntimeError(f"Unsupported Unit {fields[1]}.")
+        elif tag == "MODE" and fields[1] != "SEQ":
+            raise RuntimeError(f"Unsupported Mode {fields[1]}.")
+    return title
 
 
-def _surface_dicts_to_geometry(Surfaces, dds, n0, long_desc, no_marker) -> Group:
-    G = Group(long_desc=long_desc, n0=n0)
+def _parse_surf_blocks(text: str, n_dict: dict) -> list[_SurfRec]:
+    """Split the file into SURF blocks and parse each into a _SurfRec.
 
-    i = 0
-    while i < len(Surfaces) and "n" not in Surfaces[i]:
-        i += 1
-    z = 0
+    SURF markers live at indent 0, their properties at indent 2."""
+    recs: list[_SurfRec] = []
+    cur = None
+    for line in text.splitlines():
+        if line.startswith("SURF"):
+            cur = _SurfRec()
+            recs.append(cur)
+            continue
+        if cur is None or not line.startswith("  "):
+            continue
+        body = line[2:]
+        key = body[:4]
+        fields = body.split()
+        if key == "TYPE":
+            cur.kind = fields[1]
+        elif key == "CURV":
+            c = float(fields[1])
+            cur.R = 1.0 / c if c else np.inf
+        elif key == "CONI":
+            cur.k = float(fields[1])
+        elif key == "DIAM":
+            cur.r = max(float(fields[1]), 1e-9)
+        elif key == "COMM":
+            cur.comment = body[5:].rstrip("\n\r")
+        elif key == "COAT":
+            warning("Coatings are not supported. "
+                    f"Ignoring coating '{body[5:].rstrip()}'.")
+        elif key == "STOP":
+            cur.is_stop = True
+        elif key == "DISZ":
+            t = float(fields[1])
+            cur.thick_inf = not np.isfinite(t)
+            cur.thick = max(t, 3 * Surface.N_EPS) if not cur.thick_inf else 0.0
+        elif key == "PARM":
+            slot, val = fields[1:3]
+            cur.parm[int(float(slot)) - 1] = float(val)
+        elif key == "GLAS":
+            material = fields[1]
+            nd, V = (float(fields[4]), float(fields[5])) if len(fields) > 6 \
+                else (None, None)
+            if material == "___BLANK":
+                cur.glass = RefractionIndex("Abbe", n=nd, V=V)
+            elif material in n_dict:
+                cur.glass = n_dict[material]
+            elif nd is not None and V is not None and nd > 1 and V > 0:
+                cur.glass = RefractionIndex("Abbe", n=nd, V=V)
+            else:
+                raise RuntimeError(f"Material {material} missing in n_dict parameter.")
+    return recs
 
-    rmax = 0
-    for s in Surfaces:
-        if "r" in s and s["r"] > rmax:
-            rmax = s["r"]
-    for s in Surfaces:
-        if "r" not in s:
-            s["r"] = rmax
 
-    while i < len(Surfaces):
-        if "n" not in Surfaces[i]:
-            if i + 1 == len(Surfaces) and "r" in Surfaces[i]:
-                # last passive surface becomes a square detector
-                r = Surfaces[i]["r"]
-                DET = Detector(RectangularSurface(dim=[2 * r, 2 * r]),
-                               pos=[0, 0, z], desc=Surfaces[i]["desc"])
-                G.add(DET)
-            elif "STOP" in Surfaces[i]:
-                surf = Surfaces[i]
-                r = max(G.extent[1] - G.extent[0], G.extent[3] - G.extent[2]) / 2
-                r = max(surf["r"] + 1, r)
-                ap = Aperture(RingSurface(ri=surf["r"], r=r),
-                              pos=[0, 0, z], desc=Surfaces[i]["desc"])
-                G.add(ap)
-            z += dds[i]
-            i += 1
+def _rec_to_surface(rec: _SurfRec):
+    """Instantiate the matching Surface subclass for one record."""
+    if rec.kind == "EVENASPH":
+        return AsphericSurface(r=rec.r, R=rec.R, k=rec.k, coeff=rec.parm,
+                               desc=rec.comment)
+    if rec.kind != "STANDARD":
+        raise RuntimeError(f"Surface mode {rec.kind} not supported yet.")
+    if not np.isfinite(rec.R):
+        return CircularSurface(r=rec.r, desc=rec.comment)
+    if rec.k:
+        return ConicSurface(r=rec.r, R=rec.R, k=rec.k, desc=rec.comment)
+    return SphericalSurface(r=rec.r, R=rec.R, desc=rec.comment)
+
+
+def _assemble_group(recs: list[_SurfRec], title: str, no_marker: bool) -> Group:
+    """Walk the surface records and emit lenses/apertures/detector.
+
+    z is measured from the first glass surface.  A run of consecutive
+    glass records forms a cemented chain: each shared interface belongs
+    to the preceding lens and the following lens starts 1e-7 mm behind
+    it (reference load.py:320-415).
+    """
+    ambient = None
+    if recs and recs[0].thick_inf:
+        ambient = recs[0].glass or RefractionIndex("Constant", n=1)
+        recs = recs[1:]
+
+    G = Group(long_desc=title, n0=ambient)
+
+    # surfaces without a DIAM entry span the largest radius in the file
+    known = [rec.r for rec in recs if rec.r is not None]
+    fallback_r = max(known) if known else 1.0
+    for rec in recs:
+        if rec.r is None:
+            rec.r = fallback_r
+
+    first = next((j for j, rec in enumerate(recs) if rec.glass is not None),
+                 len(recs))
+    z, j = 0.0, first
+    while j < len(recs):
+        rec = recs[j]
+
+        if rec.glass is not None:
+            lens = Lens(_rec_to_surface(rec), _rec_to_surface(recs[j + 1]),
+                        n=rec.glass, pos=[0, 0, z], d1=0, d2=rec.thick,
+                        n2=(rec.glass if recs[j + 1].glass is not None
+                            else RefractionIndex("Constant", n=1)),
+                        desc=rec.comment)
+            G.add(lens)
+            if recs[j + 1].glass is not None:      # cemented: share the interface
+                z += rec.thick + 1e-7
+                j += 1
+            else:
+                z += rec.thick + recs[j + 1].thick
+                j += 2
             continue
 
-        surf1 = _make_surface(Surfaces[i])
-        surf2 = _make_surface(Surfaces[i + 1])
+        if rec.is_stop:
+            half_span = max(G.extent[1] - G.extent[0],
+                            G.extent[3] - G.extent[2]) / 2
+            G.add(Aperture(RingSurface(ri=rec.r, r=max(rec.r + 1, half_span)),
+                           pos=[0, 0, z], desc=rec.comment))
+        elif j + 1 == len(recs):
+            # trailing passive surface acts as the image plane
+            G.add(Detector(RectangularSurface(dim=[2 * rec.r, 2 * rec.r]),
+                           pos=[0, 0, z], desc=rec.comment))
+        z += rec.thick
+        j += 1
 
-        # cemented surfaces: the shared surface belongs to both lenses, the
-        # next lens starts 1e-7 behind it (reference load.py:320-415)
-        n2 = Surfaces[i]["n"] if "n" in Surfaces[i + 1] else RefractionIndex("Constant", n=1)
-        L = Lens(surf1, surf2, n=Surfaces[i]["n"], pos=[0, 0, z], d1=0, d2=dds[i],
-                 n2=n2, desc=Surfaces[i]["desc"])
-        G.add(L)
-
-        if "n" in Surfaces[i + 1]:
-            z += dds[i] + 1e-7
-            i += 1
-        else:
-            z += dds[i] + dds[i + 1]
-            i += 2
-
-    if G.long_desc != "" and not no_marker:
+    if title and not no_marker:
         ext = G.extent
-        ym = np.mean(ext[2:4])
-        zm = np.mean(ext[4:6])
-        xm = ext[0] - 1.5
-        G.add(PointMarker(G.long_desc, [xm, ym, zm], label_only=True))
+        G.add(PointMarker(title, [ext[0] - 1.5, np.mean(ext[2:4]),
+                                  np.mean(ext[4:6])], label_only=True))
     return G
 
 
 def load_zmx(filename: str, n_dict: dict = None, no_marker: bool = False) -> Group:
     """Load a sequential ZEMAX .zmx geometry (MM units) into a Group."""
-    lines = _read_lines(filename)
-    n_dict = n_dict or {}
-    Surfaces, dds, n0, long_desc = _zmx_to_surface_dicts(lines, n_dict)
-    return _surface_dicts_to_geometry(Surfaces, dds, n0, long_desc, no_marker)
+    text = _decode_file(filename)
+    title = _parse_zmx_header(text)
+    recs = _parse_surf_blocks(text, n_dict or {})
+    return _assemble_group(recs, title, no_marker)

@@ -31,6 +31,7 @@ from ..geometry import (Group, Lens, IdealLens, Filter, Aperture, Detector, RayS
 from ..spectrum.refraction_index import RefractionIndex
 from ..spectrum.light_spectrum import LightSpectrum
 from ..image.render_image import RenderImage
+from ..analysis import focus
 from ..ops import geom, binning
 from ..ops import sampling
 from ..utils.property_checker import PropertyChecker as pc
@@ -648,64 +649,49 @@ class Raytracer(Group):
         return DIm_res
 
     # ------------------------------------------------------------------
-    # focus search (reference :1354-1632)
+    # focus search — device-vectorized cost sweeps (analysis/focus.py);
+    # parity with reference raytracer.py:1354-1632, different engine:
+    # every candidate plane is a vmap lane instead of a thread-pool task
 
-    def _focus_search_cost(self, z_pos, mode, pa, sb, w):
-        ph = pa + sb * z_pos
-        x, y = ph[:, 0], ph[:, 1]
+    def _focus_bracket(self, z_start: float) -> list:
+        """Search interval: the gap between neighboring tracing surfaces
+        (or source/outline limits) that contains z_start."""
+        tops = np.array([s.z_max for s in self.tracing_surfaces])
+        beyond = tops > z_start
+        k = int(np.argmax(beyond)) if beyond.any() else len(tops)
+        lo = float(tops[k - 1]) if k \
+            else self.N_EPS + max(rs.extent[5] for rs in self.ray_sources)
+        hi = float(self.tracing_surfaces[k].z_min) if k < len(tops) \
+            else self.outline[5] - self.N_EPS
+        return [lo, hi]
 
-        if mode == "RMS Spot Size":
-            var_x = np.cov(x, aweights=w)
-            var_y = np.cov(y, aweights=w)
-            return float(np.sqrt(var_x + var_y))
+    def _focus_ray_lines(self, bounds, source_index):
+        """Reduce stored ray sections to transverse lines q(z) = q0 + m*z.
 
-        N_px = 100 * int(1 + np.sqrt(w.shape[0]) / 1500)
-        N_px = N_px if N_px % 2 else N_px + 1
+        Picks, per ray, the last stored section at or before the bracket
+        start; rays that never reach it are dropped.
+        """
+        lo_i, hi_i = (0, self.rays.N) if source_index is None \
+            else self.rays.B_list[source_index:source_index + 2]
 
-        ext = [x.min(), x.max(), y.min(), y.max()]
-        img = np.asarray(binning.bin_scalar(jnp.asarray(x), jnp.asarray(y), jnp.asarray(w),
-                                            N_px, N_px, ext))
+        # f32-aware probe: stored section z carries ~eps·|z| noise, so a
+        # section sitting exactly on the bound must count as before it
+        z_probe = bounds[0] + max(1e-4 * max(1.0, abs(bounds[0])), self.N_EPS)
+        crossed = z_probe < self.rays.p_list[lo_i:hi_i, :, 2]
+        seg = np.argmax(crossed, axis=1) - 1    # all-False rows give -1
+        usable = seg >= 0
 
-        if mode in ("Image Sharpness", "Image Center Sharpness"):
-            if mode == "Image Center Sharpness":
-                Y, X = np.mgrid[-1:1:N_px * 1j, -1:1:N_px * 1j]
-                R = np.sqrt(X ** 2 + Y ** 2)
-                win = np.where(R > 1, 0, 1 + np.cos(R * np.pi))
-                img0 = img * win
-                if (s := img0.sum()):
-                    img0 = img0 / s
-            else:
-                img0 = img
-            rsm = ((img0[1:] - img0[:-1]) ** 2).sum() + ((img0[:, 1:] - img0[:, :-1]) ** 2).sum()
-            return float(-rsm)
-
-        # Irradiance Variance
-        imgnz = img[img > 0]
-        Ap = (ext[1] - ext[0]) * (ext[3] - ext[2]) / N_px ** 2
-        return float(-np.log(imgnz.var() / Ap ** 2))
-
-    def _focus_rms_direct(self, pa, sb, w, bounds):
-        """Closed-form weighted RMS-spot minimum (reference :1420-1460)."""
-        pb0 = np.average(pa + sb * bounds[0], axis=0, weights=w)
-        pb1 = np.average(pa + sb * bounds[1], axis=0, weights=w)
-        vx, vy = pb1[0] - pb0[0], pb1[1] - pb0[1]
-        vz = bounds[1] - bounds[0]
-        dx = pa[:, 0] - pb0[0]
-        dy = pa[:, 1] - pb0[1]
-        dtx = sb[:, 0] - vx / vz
-        dty = sb[:, 1] - vy / vz
-        w2 = w ** 2
-        dnorm = np.sum(w2 * dtx ** 2 + w2 * dty ** 2)
-        d = -np.sum(dtx * dx * w2 + dty * dy * w2) / dnorm if dnorm else np.mean(bounds)
-        d = float(np.clip(d, bounds[0], bounds[1]))
-        res = scipy.optimize.OptimizeResult()
-        res.x = d
-        res.fun = self._focus_search_cost(d, "RMS Spot Size", pa, sb, w)
-        return res
+        select = np.zeros(self.rays.N, dtype=bool)
+        select[lo_i:hi_i] = usable
+        p, s, _, w, _, _, _ = self.rays.rays_by_mask(select, seg[usable],
+                                                     ret=[1, 1, 0, 1, 0, 0, 0])
+        m = s[:, :2] / s[:, 2:3]
+        q0 = p[:, :2] - m * p[:, 2:3]
+        return q0, m, w
 
     def focus_search(self, method: str, z_start: float, source_index: int = None,
                      return_cost: bool = False):
-        """Find the focus along z near z_start (reference :1463-1632).
+        """Find the focus along z near z_start.
 
         :return: (scipy OptimizeResult, dict(pos, bounds, z, cost, N))
         """
@@ -723,69 +709,41 @@ class Raytracer(Group):
         if not self.check_if_rays_are_current():
             raise RuntimeError("Tracing geometry/properties changed. Please retrace first.")
 
-        b0 = self.N_EPS + np.max([rs.extent[5] for rs in self.ray_sources])
-        b1 = self.outline[5] - self.N_EPS
-        for surf in self.tracing_surfaces:
-            if surf.z_max > z_start:
-                b1 = surf.z_min
-                break
-            b0 = surf.z_max
-        bounds = [b0, b1]
+        bounds = self._focus_bracket(z_start)
+        q0, m, w = self._focus_ray_lines(bounds, source_index)
 
-        Nt = 320
-        Ns, Ne = self.rays.B_list[source_index:source_index + 2] if source_index is not None \
-            else (0, self.rays.N)
-
-        rays_pos = np.zeros(self.rays.N, dtype=bool)
-        pos_idx = np.zeros(self.rays.N, dtype=int)
-        rays_pos[Ns:Ne] = True
-        # f32-aware tolerance: stored section positions carry ~eps·|z| noise,
-        # so a section sitting exactly on the bound must count as before it
-        z = bounds[0] + max(1e-4 * max(1.0, abs(bounds[0])), self.N_EPS)
-        pos_idx[Ns:Ne] = np.argmax(z < self.rays.p_list[rays_pos, :, 2], axis=1) - 1
-        rays_pos[pos_idx == -1] = False
-
-        N_use = int(np.count_nonzero(rays_pos))
+        N_use = q0.shape[0]
         if N_use < 1000:
             warning(f"WARNING: Less than 1000 rays for focus_search ({N_use}).")
         if N_use <= 1:
             return scipy.optimize.OptimizeResult(), \
-                dict(pos=[np.nan, np.nan, np.nan], bounds=bounds, z=np.full(Nt, np.nan),
-                     cost=np.full(Nt, np.nan), N=N_use)
+                dict(pos=[np.nan, np.nan, np.nan], bounds=bounds,
+                     z=np.full(focus.SWEEP_SAMPLES, np.nan),
+                     cost=np.full(focus.SWEEP_SAMPLES, np.nan), N=N_use)
 
-        pos_sel = pos_idx[np.where(rays_pos)[0]]
-        p, s, _, weights, _, _, _ = self.rays.rays_by_mask(rays_pos, pos_sel, ret=[1, 1, 0, 1, 0, 0, 0])
-
-        pa = p - s / s[:, 2, np.newaxis] * p[:, 2, np.newaxis]
-        sb = s / s[:, 2, np.newaxis]
-
-        r = vals = None
-        if return_cost or method in ("Image Sharpness", "Image Center Sharpness"):
-            r = np.linspace(bounds[0], bounds[1], Nt)
-            vals = np.array([self._focus_search_cost(ri, method, pa, sb, weights) for ri in r])
-
+        n_px = focus.histogram_side(N_use)
         if method == "RMS Spot Size":
-            res = self._focus_rms_direct(pa, sb, weights, bounds)
+            z_best = focus.rms_focus_direct(q0, m, w, bounds)
         else:
-            cost2 = lambda zv, m: self._focus_search_cost(zv[0], m, pa, sb, weights)
-            if method == "Irradiance Variance":
-                res = scipy.optimize.minimize(cost2, np.mean(bounds), args=method,
-                                              options={'maxiter': 100}, bounds=[bounds],
-                                              method="Nelder-Mead")
-            else:
-                p0 = r[int(np.argmin(vals))]
-                res = scipy.optimize.minimize(cost2, p0, args=method,
-                                              options={'maxiter': 30}, bounds=[bounds],
-                                              method="COBYLA")
-            res.x = float(np.atleast_1d(res.x)[0])
+            z_best = focus.minimize_on_interval(q0, m, w, bounds, method, n_px)
 
-        rrl = (res.x - bounds[0]) < 10 * (bounds[1] - bounds[0]) / Nt
-        rrr = (bounds[1] - res.x) < 10 * (bounds[1] - bounds[0]) / Nt
-        if rrl or rrr:
+        res = scipy.optimize.OptimizeResult()
+        res.x = z_best
+        res.fun = float(focus.cost_sweep(jnp.asarray([z_best]), jnp.asarray(q0),
+                                         jnp.asarray(m), jnp.asarray(w),
+                                         method, n_px)[0])
+
+        margin = 10 * (bounds[1] - bounds[0]) / focus.SWEEP_SAMPLES
+        if min(z_best - bounds[0], bounds[1] - z_best) < margin:
             warning("Found minimum near search bounds, "
                     "this can mean the focus is outside of the search range.")
 
-        pos_avg = tuple(np.average(pa + sb * res.x, axis=0, weights=weights))
-        if not return_cost:
-            r = vals = None
+        r = vals = None
+        if return_cost:
+            r = np.linspace(bounds[0], bounds[1], focus.SWEEP_SAMPLES)
+            vals = np.asarray(focus.cost_sweep(jnp.asarray(r), jnp.asarray(q0),
+                                               jnp.asarray(m), jnp.asarray(w),
+                                               method, n_px))
+
+        pos_avg = tuple(np.average(q0 + m * z_best, axis=0, weights=w)) + (z_best,)
         return res, dict(pos=pos_avg, bounds=bounds, z=r, cost=vals, N=N_use)
