@@ -1,13 +1,12 @@
 """Surfaces defined by measured/sampled height data
 (reference data_surface_2d.py / data_surface_1d.py).
 
-The reference evaluates an order-4 scipy spline everywhere. Splines are not
-jit-friendly, so the TPU design is two-stage: the same order-4 spline is
-built host-side (f64), then *resampled to a dense regular grid* together
-with its partial derivatives; inside traced code sag and normals are
-bilinear interpolations of those dense grids. With the default 4×
-refinement the resampling error is far below C_EPS for any data surface
-that satisfies the reference's own ≥50/≥200-points-per-dim rules.
+The reference evaluates an order-4 scipy spline everywhere
+(data_surface_2d.py:60-126). Here the *same* order-4 spline is fitted
+host-side (f64 coefficients), but evaluated inside traced code with the
+jnp de Boor kernels from :mod:`optrace_tpu.ops.bspline` — identical sag
+values to the scipy spline (to eval precision), C³-smooth, with exact
+spline partial derivatives for the normals. No dense-grid resampling.
 """
 
 from typing import Any
@@ -18,33 +17,15 @@ import scipy.interpolate
 
 from .surface import Surface
 from ...ops import geom
+from ...ops.bspline import Spline1D, Spline2D
 from ...utils.property_checker import PropertyChecker as pc
 from ...utils.warnings import warning
-
-_REFINE = 4
-_MAX_DENSE = 2001
-
-
-def _bilinear(grid, x0, dx, q_x, q_y):
-    """Bilinear interpolation of a square grid with origin x0 and step dx."""
-    gx = (q_x - x0) / dx
-    gy = (q_y - x0) / dx
-    n = grid.shape[0]
-    ix = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, n - 2)
-    iy = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, n - 2)
-    fx = jnp.clip(gx - ix, 0.0, 1.0)
-    fy = jnp.clip(gy - iy, 0.0, 1.0)
-    g00 = grid[iy, ix]
-    g01 = grid[iy, ix + 1]
-    g10 = grid[iy + 1, ix]
-    g11 = grid[iy + 1, ix + 1]
-    return (g00 * (1 - fx) * (1 - fy) + g01 * fx * (1 - fy)
-            + g10 * (1 - fx) * fy + g11 * fx * fy)
 
 
 class DataSurface2D(Surface):
 
     rotational_symmetry: bool = False
+    _1D: bool = False
 
     def __init__(self, r: float, data, parax_roc: float = None, **kwargs) -> None:
         self._lock = False
@@ -55,7 +36,7 @@ class DataSurface2D(Surface):
         self.parax_roc = parax_roc
 
         pc.check_type("data", data, (np.ndarray, list))
-        Z = np.asarray(data, dtype=np.float64)
+        Z = np.asarray(data, dtype=np.float64).copy()
         pc.check_finite("data", Z)
 
         nx = Z.shape[0]
@@ -65,49 +46,86 @@ class DataSurface2D(Surface):
         if nx < 200:
             warning(f"{type(self).__name__}: At least 200 values per dimension are advised "
                     f"for a 'data' matrix, but got {nx}.")
-        if Z.ndim != 2 or Z.shape[0] != Z.shape[1]:
-            raise ValueError("data needs to be a square 2D matrix.")
 
-        xy = np.linspace(-r, r, nx)
-        self._spline = scipy.interpolate.RectBivariateSpline(xy, xy, Z.T, kx=4, ky=4)
+        if self._1D:
+            if Z.ndim != 1:
+                raise ValueError("data array needs to have exactly one dimension.")
+            # remove the first-value offset; the center offset is removed below
+            Z -= Z[0]
+            r0 = np.linspace(0, r, nx)
+            # mirror around r=0 so the fit is smooth and even at the center
+            # (reference data_surface_2d.py:67-76)
+            r2 = np.concatenate((-np.flip(r0[1:]), r0))
+            z2 = np.concatenate((np.flip(Z[1:]), Z))
+            self._spline = Spline1D(scipy.interpolate.InterpolatedUnivariateSpline(r2, z2, k=4))
+            self._offset = float(np.asarray(self._spline(jnp.zeros(1)))[0])
 
-        # center offset removal (reference data_surface_2d.py: surface center at z=0)
-        self._offset = float(self._spline(0.0, 0.0)[0, 0])
+            rn = np.linspace(0, r, 10000)
+            zn = self._values(rn, np.zeros_like(rn))
+            self.z_min, self.z_max = float(np.min(zn)), float(np.max(zn))
+            z_range0 = float(np.ptp(Z))
+        else:
+            if Z.ndim != 2 or Z.shape[0] != Z.shape[1]:
+                raise ValueError("data needs to be a square 2D matrix.")
+            # remove the central data offset before fitting
+            # (reference data_surface_2d.py:95-99)
+            if nx % 2:
+                Z -= Z[nx // 2, nx // 2]
+            else:
+                Z -= np.mean(Z[nx // 2 - 1:nx // 2 + 1, nx // 2 - 1:nx // 2 + 1])
 
-        # dense grids for the traced path
-        nd = min(_REFINE * nx, _MAX_DENSE)
-        xg = np.linspace(-r, r, nd)
-        self._dense_x0 = float(xg[0])
-        self._dense_dx = float(xg[1] - xg[0])
-        self._dense_z = (self._spline(xg, xg).T - self._offset)
-        self._dense_gx = self._spline(xg, xg, dx=1).T
-        self._dense_gy = self._spline(xg, xg, dy=1).T
+            xy = np.linspace(-r, r, nx)
+            self._spline = Spline2D(scipy.interpolate.RectBivariateSpline(xy, xy, Z, kx=4, ky=4))
+            self._offset = float(np.asarray(self._spline(jnp.zeros(1), jnp.zeros(1)))[0])
 
-        self.z_min, self.z_max = self._find_bounds()
+            self.z_min, self.z_max = self._find_bounds()
+            X, Y = np.meshgrid(xy, xy)
+            M = (X ** 2 + Y ** 2) <= r ** 2
+            z_range0 = float(np.max(Z.T[M]) - np.min(Z.T[M]))
+
+        # interpolation may overshoot the data z-range (reference :113-126)
+        z_range1 = (self.z_max - self.z_min)
+        if abs(z_range0 - z_range1) > geom.N_EPS and z_range0 > 0:
+            z_change = (z_range1 - z_range0) / z_range0
+            add = (" WARNING: Deviations this high can be due to noise or abrupt changes"
+                   " in the data. DO NOT USE SUCH SURFACES HERE.") if z_change > 0.05 else ""
+            warning(f"{type(self).__name__}: Due to spline interpolation the z_range of the "
+                    f"surface has increased from {z_range0:.9g} to {z_range1:.9g}, "
+                    f"a change of {z_change * 100:.5g}%.{add}")
+
         self.z_min += self.pos[2]
         self.z_max += self.pos[2]
         self.lock()
 
     # ------------------------------------------------------------------
-    def _rot_rel(self, x, y):
+    # jnp geometry contract
+
+    def _sag(self, x, y):
+        """Relative sag: rotate back, mirror y for flipped surfaces, negate z
+        (reference _values: z = sign·(spline(x, sign·y) − offset))."""
+        if self._1D:
+            rq = jnp.sqrt(x * x + y * y)
+            return self._sign * (self._spline(rq) - self._offset)
         if self._angle:
             c, s = np.cos(-self._angle), np.sin(-self._angle)
             x, y = x * c - y * s, x * s + y * c
-        if self._sign < 0:
-            x = -x
-        return x, y
-
-    def _sag(self, x, y):
-        xr, yr = self._rot_rel(x, y)
-        z = _bilinear(jnp.asarray(self._dense_z), self._dense_x0, self._dense_dx, xr, yr)
-        return self._sign * z
+        z = self._spline(x, self._sign * y)
+        return self._sign * (z - self._offset)
 
     def _normals_rel(self, x, y):
-        xr, yr = self._rot_rel(x, y)
-        dx = _bilinear(jnp.asarray(self._dense_gx), self._dense_x0, self._dense_dx, xr, yr) * self._sign
-        dy = _bilinear(jnp.asarray(self._dense_gy), self._dense_x0, self._dense_dx, xr, yr) * self._sign
-        if self._sign < 0:
-            dx = -dx
+        """Exact spline-derivative normals (reference normals():184-195)."""
+        if self._1D:
+            rq = jnp.sqrt(x * x + y * y)
+            mr = self._sign * self._spline.deriv(rq)
+            safe_r = jnp.where(rq > geom.N_EPS, rq, 1.0)
+            m_over_r = jnp.where(rq > geom.N_EPS, mr / safe_r, 0.0)
+            return geom.normal_from_radial_deriv(x, y, m_over_r)
+        if self._angle:
+            c, s = np.cos(-self._angle), np.sin(-self._angle)
+            x, y = x * c - y * s, x * s + y * c
+        ym = self._sign * y
+        dx = self._spline.deriv_x(x, ym) * self._sign
+        dy = self._spline.deriv_y(x, ym)
         if self._angle:
             c, s = np.cos(self._angle), np.sin(self._angle)
             dx, dy = dx * c - dy * s, dx * s + dy * c
@@ -121,44 +139,35 @@ class DataSurface2D(Surface):
 
     # ------------------------------------------------------------------
     def flip(self) -> None:
+        """Flip around the x-axis (reference data_surface_2d.py:199-218)."""
         self._lock = False
         self._sign *= -1.0
         if self.parax_roc is not None:
             self.parax_roc *= -1
         a = self.pos[2] - (self.z_max - self.pos[2])
-        b = self.pos[2] + (self.pos[2] - self.z_min)
+        b = self.pos[2] - (self.z_min - self.pos[2])
         self.z_min, self.z_max = a, b
         self.lock()
 
     def rotate(self, angle: float) -> None:
-        self._lock = False
-        self._angle += np.deg2rad(angle)
-        self.lock()
+        if not self.rotational_symmetry:
+            self._lock = False
+            self._angle += np.deg2rad(angle)
+            self.lock()
 
     def __setattr__(self, key: str, val: Any) -> None:
         super().__setattr__(key, val)
 
 
 class DataSurface1D(DataSurface2D):
-    """Radial height profile, mirrored to 2D (reference data_surface_1d.py)."""
+    """Radial height profile over np.linspace(0, r, n), mirrored for an
+    even, C³-smooth center (reference data_surface_1d.py:6-30)."""
 
     rotational_symmetry: bool = True
+    _1D: bool = True
 
     def __init__(self, r: float, data, parax_roc: float = None, **kwargs) -> None:
-        pc.check_type("data", data, (np.ndarray, list))
         prof = np.asarray(data, dtype=np.float64)
-        pc.check_finite("data", prof)
         if prof.ndim != 1:
             raise ValueError("data needs to be a 1D array for DataSurface1D.")
-        n = prof.shape[0]
-        if n < 50:
-            raise ValueError("For a good surface representation 'data' should have at least 50 values")
-
-        # build a 2D grid by rotating the radial profile
-        rr = np.linspace(0, r, n)
-        spline1d = scipy.interpolate.InterpolatedUnivariateSpline(rr, prof, k=4)
-        xy = np.linspace(-r, r, 2 * n - 1)
-        X, Y = np.meshgrid(xy, xy)
-        R = np.clip(np.hypot(X, Y), 0, r)
-        Z = spline1d(R)
-        super().__init__(r, Z, parax_roc=parax_roc, **kwargs)
+        super().__init__(r, prof, parax_roc=parax_roc, **kwargs)

@@ -194,9 +194,15 @@ def hit_conic(o, s, rho, k, z_min_rel, z_max_rel):
     has_root = disc >= 0.0
     D = _safe_sqrt(disc, has_root)
 
+    # f32-stable root pairing: q = −(B + sign(B)·D) has no cancellation;
+    # the partner root follows from Vieta t₁t₂ = C/A as C/q (Citardauq),
+    # avoiding the (−B+D)/A cancellation that costs ~6 digits near B²≫CA
+    sgnB = jnp.where(B >= 0, 1.0, -1.0)
+    q = -(B + sgnB * D)
     safe_A = jnp.where(jnp.abs(A) > N_EPS, A, 1.0)
-    t1 = jnp.where(jnp.abs(A) > N_EPS, (-B - D) / safe_A, jnp.inf)
-    t2 = jnp.where(jnp.abs(A) > N_EPS, (-B + D) / safe_A, jnp.inf)
+    safe_q = jnp.where(jnp.abs(q) > N_EPS, q, 1.0)
+    t1 = jnp.where(jnp.abs(A) > N_EPS, q / safe_A, jnp.inf)
+    t2 = jnp.where(jnp.abs(q) > N_EPS, C / safe_q, jnp.inf)
 
     # linear case A≈0, B≠0: single root
     t_lin = -C / (2.0 * jnp.where(jnp.abs(B) > N_EPS, B, 1.0))
@@ -215,6 +221,13 @@ def hit_conic(o, s, rho, k, z_min_rel, z_max_rel):
     use1 = ok1 & ~(ok2 & (t2 < t1))
     t = jnp.where(use1, t1, t2)
     valid = has_root & (ok1 | ok2) & ~(lin & (jnp.abs(B) <= N_EPS))
+
+    # one Newton polish on Q(t)=At²+2Bt+C mops up the remaining f32
+    # rounding of the root (residual drops ~5× at long throws)
+    Qp = 2.0 * (A * t + B)
+    Qv = (A * t + 2.0 * B) * t + C
+    ok_p = valid & (jnp.abs(Qp) > N_EPS) & jnp.isfinite(t)
+    t = jnp.where(ok_p, t - Qv / jnp.where(ok_p, Qp, 1.0), t)
     return t, valid
 
 

@@ -262,30 +262,33 @@ class Raytracer(Group):
     # ------------------------------------------------------------------
     # trace step construction
 
-    def _build_steps(self) -> list:
-        """Element list → TraceStep list (jnp-functional scene)."""
+    def _build_steps(self, dtype=np.float32) -> list:
+        """Element list → TraceStep list (jnp-functional scene).
+
+        ``dtype=np.float64`` (with ``jax.enable_x64``) builds the
+        accuracy-oracle variant of the same scene."""
         steps = []
         n_before = self.n0
         for el in self._tracing_elements():
             if isinstance(el, IdealLens):
-                sfns = compile_surface(el.front)
+                sfns = compile_surface(el.front, dtype)
                 n2 = el.n2 if el.n2 is not None else self.n0
                 steps.append(TraceStep(sfns, "ideal", n1_fn=n_before, n2_fn=n2, D=el.D))
                 n_before = n2
             elif isinstance(el, Lens):
                 n2 = el.n2 if el.n2 is not None else self.n0
-                steps.append(TraceStep(compile_surface(el.front), "refract",
+                steps.append(TraceStep(compile_surface(el.front, dtype), "refract",
                                        n1_fn=n_before, n2_fn=el.n))
-                steps.append(TraceStep(compile_surface(el.back), "refract",
+                steps.append(TraceStep(compile_surface(el.back, dtype), "refract",
                                        n1_fn=el.n, n2_fn=n2))
                 n_before = n2
             elif isinstance(el, Filter):
-                steps.append(TraceStep(compile_surface(el.front), "filter",
+                steps.append(TraceStep(compile_surface(el.front, dtype), "filter",
                                        spectrum_fn=el.spectrum))
             elif isinstance(el, Aperture):
                 kind = "ring" if isinstance(el.front, RingSurface) \
                     else ("slit" if isinstance(el.front, SlitSurface) else "")
-                steps.append(TraceStep(compile_surface(el.front), "absorb",
+                steps.append(TraceStep(compile_surface(el.front, dtype), "absorb",
                                        hurb=bool(kind), hurb_kind=kind))
         return steps
 

@@ -65,26 +65,34 @@ def _flat_normal_fn(params, x, y):
     return geom.normal_flat(x, y)
 
 
-def compile_surface(surf: Surface) -> SurfaceFns:
-    """Build the functional descriptor for a host-side surface object."""
-    pos = np.asarray(surf.pos, dtype=np.float32)
+def compile_surface(surf: Surface, dtype=np.float32) -> SurfaceFns:
+    """Build the functional descriptor for a host-side surface object.
+
+    ``dtype`` selects the parameter precision: the default f32 is the TPU
+    path; f64 (under ``jax.enable_x64``) is the accuracy-oracle path used
+    by the error-budget tests (tests/test_accuracy.py).
+    """
+    def sc(v):
+        return jnp.asarray(np.asarray(v, dtype=dtype))
+
+    pos = np.asarray(surf.pos, dtype=dtype)
     base = {"pos": jnp.asarray(pos),
-            "z_max_rel": jnp.asarray(np.float32(surf.z_max - surf.pos[2])),
-            "z_min_rel": jnp.asarray(np.float32(surf.z_min - surf.pos[2]))}
+            "z_max_rel": sc(surf.z_max - surf.pos[2]),
+            "z_min_rel": sc(surf.z_min - surf.pos[2])}
 
     if isinstance(surf, SlitSurface):
-        params = dict(base, hw=jnp.float32(surf.dim[0] / 2), hh=jnp.float32(surf.dim[1] / 2),
-                      hwi=jnp.float32(surf.dimi[0] / 2), hhi=jnp.float32(surf.dimi[1] / 2),
-                      angle=jnp.float32(surf._angle))
+        params = dict(base, hw=sc(surf.dim[0] / 2), hh=sc(surf.dim[1] / 2),
+                      hwi=sc(surf.dimi[0] / 2), hhi=sc(surf.dimi[1] / 2),
+                      angle=sc(surf._angle))
         return SurfaceFns(params, _flat_hit_fn, _flat_normal_fn, _mask_slit_fn, "slit", True)
 
     if isinstance(surf, RectangularSurface):
-        params = dict(base, hw=jnp.float32(surf.dim[0] / 2), hh=jnp.float32(surf.dim[1] / 2),
-                      angle=jnp.float32(surf._angle))
+        params = dict(base, hw=sc(surf.dim[0] / 2), hh=sc(surf.dim[1] / 2),
+                      angle=sc(surf._angle))
         return SurfaceFns(params, _flat_hit_fn, _flat_normal_fn, _mask_rect_fn, "rect", True)
 
     if isinstance(surf, RingSurface):
-        params = dict(base, r=jnp.float32(surf.r), ri=jnp.float32(surf.ri))
+        params = dict(base, r=sc(surf.r), ri=sc(surf.ri))
         return SurfaceFns(params, _flat_hit_fn, _flat_normal_fn, _mask_ring_fn, "ring", True)
 
     if isinstance(surf, AsphericSurface):
@@ -100,9 +108,9 @@ def compile_surface(surf: Surface) -> SurfaceFns:
             return geom.normal_asphere(x, y, params["rho"], params["k"],
                                        [params["coeff"][i] for i in range(ncoeff)])
 
-        params = dict(base, r=jnp.float32(surf.r), rho=jnp.float32(1.0 / surf.R),
-                      k=jnp.float32(surf.k),
-                      coeff=jnp.asarray(np.asarray(surf.coeff, dtype=np.float32)))
+        params = dict(base, r=sc(surf.r), rho=sc(1.0 / surf.R),
+                      k=sc(surf.k),
+                      coeff=sc(surf.coeff))
         return SurfaceFns(params, asph_hit, asph_normal, _mask_circle_fn, "asphere", False)
 
     if isinstance(surf, ConicSurface):   # includes SphericalSurface
@@ -114,8 +122,8 @@ def compile_surface(surf: Surface) -> SurfaceFns:
         def conic_normal(params, x, y):
             return geom.normal_conic(x, y, params["rho"], params["k"])
 
-        params = dict(base, r=jnp.float32(surf.r), rho=jnp.float32(1.0 / surf.R),
-                      k=jnp.float32(surf.k))
+        params = dict(base, r=sc(surf.r), rho=sc(1.0 / surf.R),
+                      k=sc(surf.k))
         return SurfaceFns(params, conic_hit, conic_normal, _mask_circle_fn, "conic", False)
 
     if isinstance(surf, TiltedSurface):
@@ -130,19 +138,19 @@ def compile_surface(surf: Surface) -> SurfaceFns:
         def tilt_normal(params, x, y):
             return jnp.broadcast_to(params["normal"], (*jnp.asarray(x).shape, 3))
 
-        params = dict(base, r=jnp.float32(surf.r),
-                      normal=jnp.asarray(np.asarray(surf.normal, dtype=np.float32)))
+        params = dict(base, r=sc(surf.r),
+                      normal=sc(surf.normal))
         return SurfaceFns(params, tilt_hit, tilt_normal, _mask_circle_fn, "tilted", False)
 
     if isinstance(surf, CircularSurface):
-        params = dict(base, r=jnp.float32(surf.r))
+        params = dict(base, r=sc(surf.r))
         return SurfaceFns(params, _flat_hit_fn, _flat_normal_fn, _mask_circle_fn, "circle", True)
 
     # generic curved surface (FunctionSurface, DataSurface): Newton over the
     # object's jnp sag closure; params carry only pos/extent (user funcs and
     # spline grids stay baked in the closure)
     if surf.is_flat():
-        params = dict(base, r=jnp.float32(surf.r))
+        params = dict(base, r=sc(surf.r))
         return SurfaceFns(params, _flat_hit_fn, _flat_normal_fn, _mask_circle_fn, "flat", True)
 
     def gen_hit(params, o, s):
@@ -160,5 +168,5 @@ def compile_surface(surf: Surface) -> SurfaceFns:
                 m = m & jnp.asarray(surf.mask_func(x, y, **surf.mask_args), dtype=bool)
         return m
 
-    params = dict(base, r=jnp.float32(surf.r))
+    params = dict(base, r=sc(surf.r))
     return SurfaceFns(params, gen_hit, gen_normal, gen_mask, "generic", False)
