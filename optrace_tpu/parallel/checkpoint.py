@@ -28,13 +28,13 @@ class RenderCheckpoint:
         img = ck.image()
     """
 
-    def __init__(self, path: str, total_batches: int, seed: int = 0) -> None:
+    def __init__(self, path: str = None, total_batches: int = 1, seed: int = 0) -> None:
         self.path = path
         self.total_batches = int(total_batches)
         self.seed = int(seed)
         self._img = None
         self._done = 0
-        if os.path.isfile(path):
+        if path is not None and os.path.isfile(path):
             self.load()
 
     # ------------------------------------------------------------------

@@ -4,9 +4,12 @@ rays sharded over a mesh axis and detector XYZW tiles psum-merged.
 This is the TPU-native equivalent of the reference's thread-slice data
 parallelism (raytracer.py:285-289) + per-channel binning threads
 (render_image.py:398-407), and the compute path used by iterative
-(megabatched) rendering at 10⁷–10⁸+ rays: no ray sections are stored, the
-only output is the accumulated image tile, so HBM usage is O(N_shard) per
-batch regardless of total ray count.
+(megabatched) rendering at 10⁷–10⁸+ rays. Detector crossings are consumed
+*while the trace runs* (a streaming sink in trace_bundle, see
+tracer/detector.segment_update) and sections are never stored, so HBM
+usage is O(N_shard) per batch regardless of total ray count AND surface
+count — the reference instead re-materializes all N×nt sections per batch
+(raytracer.py:1134-1279).
 """
 
 from functools import partial
@@ -17,9 +20,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from ..geometry import SphericalSurface
 from ..tracer.scene_compile import compile_surface
 from ..tracer.trace_core import trace_bundle
-from ..tracer.detector import detector_hits, build_segment_mask
+from ..tracer.detector import (detector_hits, build_segment_mask, init_hit_carry,
+                               segment_update, sphere_projection_xy)
 from ..ops import binning
 
 
@@ -29,11 +34,59 @@ def default_mesh(axis_name: str = "rays") -> Mesh:
     return Mesh(devs, (axis_name,))
 
 
-def make_fused_render(RT, N_batch: int, detector_index: int = 0,
-                      extent=None, Nx: int = 945, Ny: int = 945):
-    """Single-device fused render step: key → (Ny, Nx, 4) XYZW image.
+def _detector_sink(RT, detector_index: int, projection_method, extent,
+                   Nx: int, Ny: int, filter_extent=None):
+    """Build (sink_fn, init_carry, finalize) for one detector config.
 
-    ``extent`` must be fixed (auto-extent requires a host round trip).
+    ``finalize(carry, wl)`` bins the accumulated hits into an (Ny, Nx, 4)
+    XYZW tile, applying the sphere projection on device when the detector
+    surface is spherical. ``filter_extent`` optionally drops hits outside
+    a tighter box than the binning extent (the iterative-render semantics:
+    rays outside the first batch's auto extent are discarded, reference
+    raytracer.py:1034-1049, even when the limit filter widens the grid).
+    """
+    dsurf = RT.detectors[detector_index].surface
+    sfns = compile_surface(dsurf)
+    det_zmin = float(dsurf.z_min)
+    seg_mask = build_segment_mask(RT._section_z_bounds(),
+                                  det_zmin, float(dsurf.z_max))
+    if extent is None:
+        extent = dsurf.extent[:4]
+    ext = tuple(float(v) for v in extent)
+
+    spherical = isinstance(dsurf, SphericalSurface) and projection_method is not None
+    pos = tuple(float(v) for v in dsurf.pos)
+    R = float(dsurf.R) if spherical else 0.0
+
+    def sink(j, p_prev, p_new, w_prev, carry):
+        if not seg_mask[j]:
+            return carry
+        return segment_update(sfns, det_zmin, p_prev, p_new, w_prev, carry)
+
+    def finalize(carry, wl):
+        ph, wsel, is_hit, done, _ = carry
+        wm = jnp.where(is_hit & done, wsel, 0.0)
+        x, y = ph[:, 0], ph[:, 1]
+        if spherical:
+            x, y = sphere_projection_xy(x, y, ph[:, 2], pos, R, projection_method)
+        if filter_extent is not None:
+            fx = filter_extent
+            inside = (fx[0] <= x) & (x <= fx[1]) & (fx[2] <= y) & (y <= fx[3])
+            wm = jnp.where(inside, wm, 0.0)
+        return binning.bin_xyzw(x, y, wm, wl, Nx, Ny, ext)
+
+    return sink, finalize, ext
+
+
+def make_fused_render_multi(RT, N_batch: int, configs: list):
+    """Streaming fused render for several detector views of ONE trace.
+
+    :param RT: Raytracer (geometry checked, detectors already positioned)
+    :param N_batch: rays per call
+    :param configs: list of dicts with keys detector_index, extent
+        (4-tuple or None → detector surface extent), projection_method,
+        Nx, Ny
+    :return: (render(key) -> (list[(Ny,Nx,4) imgs], infos), list[extent])
     """
     RT.rays.init(RT.ray_sources, N_batch, len(RT.tracing_surfaces) + 2, RT.no_pol)
     steps = RT._build_steps()
@@ -42,26 +95,43 @@ def make_fused_render(RT, N_batch: int, detector_index: int = 0,
     n0_fn = RT.n0
     no_pol, use_hurb = RT.no_pol, RT.use_hurb
 
-    dsurf = RT.detectors[detector_index].surface
-    sfns = compile_surface(dsurf)
-    det_zmin = float(dsurf.z_min)
-    seg_mask = tuple(build_segment_mask(RT._section_z_bounds(),
-                                        det_zmin, float(dsurf.z_max)))
-    if extent is None:
-        extent = dsurf.extent[:4]
-    ext = tuple(float(v) for v in extent)
+    sinks, finalizers, exts = [], [], []
+    for cfg in configs:
+        sink, fin, ext = _detector_sink(RT, cfg.get("detector_index", 0),
+                                        cfg.get("projection_method", "Equidistant"),
+                                        cfg.get("extent"), cfg.get("Nx", 945),
+                                        cfg.get("Ny", 945), cfg.get("filter_extent"))
+        sinks.append((sink, init_hit_carry(N_batch)))
+        finalizers.append(fin)
+        exts.append(ext)
 
-    def render_one(key):
+    def render(key):
         k_src, k_trace = jax.random.split(key)
         p, s, pols, w, wl = gen(k_src)
         out = trace_bundle(steps, n0_fn, outline, p, s, pols, w, wl,
-                           no_pol, use_hurb, key=k_trace)
-        ph, wsel, is_hit, _ = detector_hits(sfns, det_zmin, out["p"], out["w"],
-                                            segment_mask=seg_mask)
-        wm = jnp.where(is_hit, wsel, 0.0)
-        return binning.bin_xyzw(ph[:, 0], ph[:, 1], wm, out["wl"], Nx, Ny, ext)
+                           no_pol, use_hurb, key=k_trace,
+                           sinks=sinks, store_sections=False)
+        imgs = [fin(carry, out["wl"]) for fin, carry in zip(finalizers, out["sinks"])]
+        return imgs, out["infos"]
 
-    return render_one, ext
+    return render, exts
+
+
+def make_fused_render(RT, N_batch: int, detector_index: int = 0,
+                      extent=None, Nx: int = 945, Ny: int = 945):
+    """Single-detector fused render step: key → (Ny, Nx, 4) XYZW image.
+
+    ``extent`` must be fixed (auto-extent requires a host round trip).
+    """
+    render, exts = make_fused_render_multi(
+        RT, N_batch, [dict(detector_index=detector_index, extent=extent,
+                           Nx=Nx, Ny=Ny)])
+
+    def render_one(key):
+        imgs, _ = render(key)
+        return imgs[0]
+
+    return render_one, exts[0]
 
 
 def make_sharded_render(RT, N_batch: int, mesh: Mesh = None, detector_index: int = 0,

@@ -618,28 +618,58 @@ class Raytracer(Group):
         nt = len(self.tracing_surfaces) + 2
         msgs_cum = np.zeros((N_INFOS, nt), dtype=int)
 
-        for i in range(iterations):
-            if i == iterations - 1:
-                rays_step += int(N - iterations * rays_step)
+        # batch 1 through the stored-section path: it determines the auto
+        # extents and builds the RenderImage headers (reference :1247-1264)
+        first_step = rays_step + (int(N - iterations * rays_step) if iterations == 1 else 0)
+        with global_options.no_warnings(), global_options.no_progress_bar():
+            self.trace(N=first_step)
+            if self._msgs.shape == msgs_cum.shape:
+                msgs_cum += self._msgs
 
-            with global_options.no_warnings(), global_options.no_progress_bar():
-                self.trace(N=rays_step)
-                if self._msgs.shape == msgs_cum.shape:
-                    msgs_cum += self._msgs
+        for j in range(len(pos)):
+            self.detectors[detector_index[j]].move_to(pos[j])
+            with global_options.no_progress_bar(), global_options.no_warnings():
+                Imi = self.detector_image(detector_index=detector_index[j],
+                                          extent=extentc[j], limit=limit[j], _dont_filter=True,
+                                          projection_method=projection_method[j])
+            Imi._data *= first_step / N
+            DIm_res.append(Imi)
+            extentc[j] = Imi._extent0
+        bar.update()
 
-            for j in range(len(pos)):
-                self.detectors[detector_index[j]].move_to(pos[j])
-                with global_options.no_progress_bar(), global_options.no_warnings():
-                    Imi = self.detector_image(detector_index=detector_index[j],
-                                              extent=extentc[j], limit=limit[j], _dont_filter=True,
-                                              projection_method=projection_method[j])
-                Imi._data *= rays_step / N
-                if i == 0:
-                    DIm_res.append(Imi)
-                    extentc[j] = Imi._extent0
-                else:
-                    DIm_res[j]._data += Imi._data
-            bar.update()
+        # remaining batches run the fused streaming path: one jitted
+        # source→trace→detector-sink→bin step per batch, O(rays_step)
+        # memory, no host round trip (VERDICT #3; SURVEY §2.10 megabatch)
+        if iterations > 1:
+            from ..parallel.render import make_fused_render_multi
+
+            def build(nrays):
+                configs = []
+                for j in range(len(pos)):
+                    self.detectors[detector_index[j]].move_to(pos[j])
+                    Im = DIm_res[j]
+                    configs.append(dict(detector_index=detector_index[j],
+                                        extent=tuple(Im.extent),
+                                        filter_extent=tuple(extentc[j]),
+                                        projection_method=projection_method[j],
+                                        Ny=Im._data.shape[0], Nx=Im._data.shape[1]))
+                render, _ = make_fused_render_multi(self, nrays, configs)
+                return jax.jit(render)
+
+            step_fn = build(rays_step)
+            base_key = jax.random.PRNGKey(0x17E7 + self._seed_counter)
+            for i in range(1, iterations):
+                ni = rays_step if i < iterations - 1 \
+                    else rays_step + int(N - iterations * rays_step)
+                if ni != rays_step:
+                    step_fn = build(ni)
+                imgs, infos = step_fn(jax.random.fold_in(base_key, i))
+                for j in range(len(pos)):
+                    DIm_res[j]._data += np.asarray(imgs[j], dtype=np.float64) * (ni / N)
+                infos = np.asarray(infos, dtype=int)
+                if infos.shape == msgs_cum.shape:
+                    msgs_cum += infos
+                bar.update()
 
         for i, DIm in enumerate(DIm_res):
             if limit[i] is not None:
@@ -650,6 +680,84 @@ class Raytracer(Group):
         self._msgs = msgs_cum
         self._show_messages(N)
         return DIm_res
+
+    # ------------------------------------------------------------------
+    # huge renders: fused streaming megabatches, optionally sharded over a
+    # device mesh and checkpointed (exceeds the reference, whose only
+    # out-of-core mode re-materializes all sections per batch, :1134-1279)
+
+    def render_huge(self, N, detector_index: int = 0, extent=None,
+                    limit: float = None, projection_method: str = "Equidistant",
+                    batch_size: int = None, mesh=None,
+                    checkpoint_path: str = None, checkpoint_every: int = 10) -> RenderImage:
+        """Render a detector image from up to 10⁸⁺ rays in O(batch) memory.
+
+        Each batch is one jitted source→trace→detector-sink→bin step; no
+        ray sections are ever stored. With ``mesh`` the batch is sharded
+        over the device mesh and tiles are psum-merged; with
+        ``checkpoint_path`` progress is saved every ``checkpoint_every``
+        batches and resumes exactly (same per-batch threefry keys).
+
+        :param extent: fixed image extent; defaults to the detector
+            surface extent (auto-extent would need a host round trip)
+        :return: accumulated RenderImage
+        """
+        if not self.detectors:
+            raise RuntimeError("Detector(s) Missing.")
+        if (N := int(N)) <= 0:
+            raise ValueError(f"Ray number N needs to be a positive int, but is {N}.")
+        if self._pretrace_check(min(N, self.ITER_RAYS_STEP)):
+            raise RuntimeError("Geometry checks failed. Tracing aborted. Check the warnings.")
+
+        from ..parallel.render import make_fused_render_multi, make_sharded_render
+        from ..parallel.checkpoint import RenderCheckpoint
+
+        batch = int(batch_size) if batch_size else min(N, self.ITER_RAYS_STEP)
+        n_batches = max(1, -(-N // batch))
+
+        detector = self.detectors[detector_index]
+        dsurf = detector.surface
+        ext = tuple(dsurf.extent[:4]) if extent is None else tuple(extent)
+
+        pname = f": {detector.desc}" if detector.desc != "" else ""
+        desc = f"{Detector.abbr}{detector_index}{pname} at z = {detector.pos[2]:.5g} mm"
+        img = RenderImage(long_desc=desc, extent=np.asarray(ext, dtype=np.float64),
+                          projection=projection_method
+                          if isinstance(dsurf, SphericalSurface) else None)
+        img.render(limit=limit, _dont_filter=True)   # fix extent, alloc zeros
+        Ny, Nx, _ = img._data.shape
+
+        if mesh is not None:
+            step, _ = make_sharded_render(self, batch, mesh=mesh,
+                                          detector_index=detector_index,
+                                          extent=tuple(img.extent), Nx=Nx, Ny=Ny)
+        else:
+            render, _ = make_fused_render_multi(
+                self, batch, [dict(detector_index=detector_index,
+                                   extent=tuple(img.extent),
+                                   projection_method=projection_method,
+                                   Nx=Nx, Ny=Ny)])
+            inner = jax.jit(render)
+
+            def step(key):
+                imgs, _ = inner(key)
+                return imgs[0]
+
+        ck = RenderCheckpoint(checkpoint_path, n_batches)
+        bar = ProgressBar("Rendering: ", n_batches - ck.done)
+        for i in ck.remaining():
+            ck.add(step(ck.key(i)))
+            if checkpoint_path and (i % checkpoint_every == checkpoint_every - 1):
+                ck.save()
+            bar.update()
+        if checkpoint_path:
+            ck.save()
+        bar.finish()
+
+        img._data += ck.image()
+        if limit is not None:
+            img._apply_rayleigh_filter()
+        return img
 
     # ------------------------------------------------------------------
     # focus search — device-vectorized cost sweeps (analysis/focus.py);

@@ -230,22 +230,35 @@ def _hurb(step: TraceStep, key, p_new, s, w, wl, n_amb, pols, bend_candidates, n
 
 def trace_bundle(steps: list, n0_fn: Callable, outline,
                  p, s, pols, w, wl, no_pol: bool,
-                 use_hurb: bool, key=None):
+                 use_hurb: bool, key=None,
+                 sinks: list = None, store_sections: bool = True):
     """Trace a ray bundle through the unrolled step list.
 
     :param steps: list[TraceStep] including the implicit end absorber
     :param n0_fn: ambient index wl -> n
     :param outline: 6-element outline box
     :param p, s, pols, w, wl: initial ray state from the sources
+    :param sinks: optional list of (update_fn, init_carry) streaming
+        consumers. After each step, ``carry = update_fn(j, p_prev, p_new,
+        w_prev, carry)`` is called with the segment index j (= step index)
+        and the ray weight *at the segment start*. This is how the fused
+        render observes detector crossings without section storage.
+    :param store_sections: when False, per-section arrays are not
+        accumulated — the returned dict carries only the final ray state,
+        wl, INFOS and the sink carries, keeping HBM at O(N) regardless of
+        surface count (the megabatch render path).
     :return: dict with stacked per-section arrays p (N, nt, 3), w (N, nt),
-             pols (N, nt, 3), n (N, nt) and the INFOS counter matrix
-             (N_INFOS, nt) — nt = len(steps) + 1 sections.
+             pols (N, nt, 3), n (N, nt) (if store_sections) and the INFOS
+             counter matrix (N_INFOS, nt) — nt = len(steps) + 1 sections —
+             plus "sinks": final sink carries.
     """
     sections_p = [p]
     sections_w = [w]
     sections_pol = [pols]
     sections_n = [n0_fn(wl)]
     infos = [jnp.zeros((N_INFOS,), dtype=jnp.int32)]
+    carries = [init for _, init in sinks] if sinks else []
+    n_amb_last = sections_n[-1]
 
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -254,6 +267,7 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
         info = jnp.zeros((N_INFOS,), dtype=jnp.int32)
         hw = w > 0.0
         p_prev = p
+        w_prev = w
 
         p, hit, ill, n_broken = _surface_hit(step, p, s, hw)
         info = info.at[ILL_COND].add(jnp.sum(ill.astype(jnp.int32)))
@@ -279,35 +293,45 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
         elif step.action == "filter":
             T = step.spectrum_fn(wl)
             w = jnp.where(hit, w * T, w)
-            n_after = sections_n[-1]
+            n_after = n_amb_last
 
         elif step.action == "absorb":
             w = jnp.where(hit, 0.0, w)
             passing = hw & ~hit
             if use_hurb and step.hurb:
                 key, sub = jax.random.split(key)
-                n_amb = sections_n[-1]
-                s, w, pols, n_neg = _hurb(step, sub, p, s, w, wl, n_amb, pols,
-                                          passing, no_pol)
+                s, w, pols, n_neg = _hurb(step, sub, p, s, w, wl, n_amb_last,
+                                          pols, passing, no_pol)
                 info = info.at[HURB_NEG_DIR].add(n_neg)
-            n_after = sections_n[-1]
+            n_after = n_amb_last
         else:  # pragma: no cover
             raise RuntimeError(f"unknown action {step.action}")
 
         p, w, n_out = _outline_intersection(p_prev, p, s, w, outline)
         info = info.at[OUTLINE_INTERSECTION].add(n_out)
 
-        sections_p.append(p)
-        sections_w.append(w)
-        sections_pol.append(pols)
-        sections_n.append(n_after)
-        infos.append(info)
+        if sinks:
+            carries = [fn(idx, p_prev, p, w_prev, c)
+                       for (fn, _), c in zip(sinks, carries)]
 
-    return {
-        "p": jnp.stack(sections_p, axis=1),
-        "w": jnp.stack(sections_w, axis=1),
-        "pol": jnp.stack(sections_pol, axis=1),
-        "n": jnp.stack(sections_n, axis=1),
+        n_amb_last = n_after
+        infos.append(info)
+        if store_sections:
+            sections_p.append(p)
+            sections_w.append(w)
+            sections_pol.append(pols)
+            sections_n.append(n_after)
+
+    out = {
         "wl": wl,
         "infos": jnp.stack(infos, axis=1),   # (N_INFOS, nt)
+        "sinks": carries,
     }
+    if store_sections:
+        out |= {
+            "p": jnp.stack(sections_p, axis=1),
+            "w": jnp.stack(sections_w, axis=1),
+            "pol": jnp.stack(sections_pol, axis=1),
+            "n": jnp.stack(sections_n, axis=1),
+        }
+    return out

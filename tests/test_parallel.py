@@ -55,6 +55,19 @@ class TestCheckpoint:
         with pytest.raises(ValueError):
             RenderCheckpoint(path, total_batches=5)
 
+    def test_render_huge_checkpoint_resume(self, tmp_path):
+        """render_huge with a checkpoint resumes to a bitwise-identical image."""
+        RT = simple_rt()
+        path = str(tmp_path / "huge.ckpt.npz")
+        h1 = RT.render_huge(8192, batch_size=2048, extent=[-2, 2, -2, 2],
+                            checkpoint_path=path)
+        # checkpoint is complete: a re-run does zero batches, same image
+        RT2 = simple_rt()
+        h2 = RT2.render_huge(8192, batch_size=2048, extent=[-2, 2, -2, 2],
+                             checkpoint_path=path)
+        np.testing.assert_array_equal(h1._data, h2._data)
+        assert h1.power() == pytest.approx(1.0, abs=1e-3)
+
     def test_sorted_binning_matches_scatter(self):
         from optrace_tpu.ops import binning
         rng = np.random.default_rng(1)
@@ -68,3 +81,99 @@ class TestCheckpoint:
         b = np.asarray(binning.bin_xyzw_sorted(px, py, w, wl, 95, 95, ext))
         np.testing.assert_allclose(a, b, atol=1e-2)
         assert a.sum() == pytest.approx(b.sum(), rel=1e-6)
+
+
+class TestFusedIterative:
+    """The fused streaming path (trace sinks, no section storage) must
+    agree with the stored-section path on the same scene."""
+
+    def _scene(self):
+        RT = ot.Raytracer(outline=[-5, 5, -5, 5, -5, 40])
+        RT.add(ot.RaySource(ot.CircularSurface(r=1), pos=[0, 0, 0],
+                            divergence="Lambertian", div_angle=5,
+                            spectrum=ot.presets.light_spectrum.d65))
+        RT.add(ot.Lens(ot.SphericalSurface(r=3, R=20), ot.SphericalSurface(r=3, R=-20),
+                       n=ot.RefractionIndex("Constant", n=1.5), pos=[0, 0, 10], d=1.5))
+        RT.add(ot.Detector(ot.RectangularSurface(dim=[4, 4]), pos=[0, 0, 30]))
+        return RT
+
+    def test_streaming_sink_matches_stored_scan(self):
+        """One trace, consumed both ways: the streaming detector sink and
+        the post-hoc stored-section scan must agree EXACTLY on hit
+        positions, weights and hit masks (same ops, same order)."""
+        from optrace_tpu.tracer.scene_compile import compile_surface
+        from optrace_tpu.tracer.detector import (detector_hits, build_segment_mask,
+                                                 init_hit_carry, segment_update)
+        from optrace_tpu.tracer.trace_core import trace_bundle
+
+        RT = self._scene()
+        N = 20000
+        RT.rays.init(RT.ray_sources, N, len(RT.tracing_surfaces) + 2, RT.no_pol)
+        steps = RT._build_steps()
+        gen = RT._make_source_fn(N)
+        k_src, k_trace = jax.random.split(jax.random.PRNGKey(7))
+        p, s, pols, w, wl = gen(k_src)
+
+        dsurf = RT.detectors[0].surface
+        sfns = compile_surface(dsurf)
+        zmin = float(dsurf.z_min)
+        seg = build_segment_mask(RT._section_z_bounds(), zmin, float(dsurf.z_max))
+
+        def sink(j, pp, pn, wp, carry):
+            return segment_update(sfns, zmin, pp, pn, wp, carry) if seg[j] else carry
+
+        out = trace_bundle(steps, RT.n0, tuple(map(float, RT.outline)),
+                           p, s, pols, w, wl, RT.no_pol, RT.use_hurb,
+                           key=k_trace, sinks=[(sink, init_hit_carry(N))],
+                           store_sections=True)
+        ph1, wsel1, ish1, done1, _ = out["sinks"][0]
+        ph2, wsel2, ish2, _ = detector_hits(sfns, zmin, out["p"], out["w"],
+                                            segment_mask=seg)
+        np.testing.assert_array_equal(np.asarray(ish1 & done1), np.asarray(ish2))
+        np.testing.assert_array_equal(np.asarray(ph1), np.asarray(ph2))
+        np.testing.assert_array_equal(np.asarray(wsel1), np.asarray(wsel2))
+
+    def test_fused_image_matches_stored_image(self):
+        """Jitted fused step vs host stored-section render: same rays, so
+        total power matches exactly and at most a handful of boundary rays
+        migrate one bin from jit-vs-eager f32 fusion rounding."""
+        from optrace_tpu.parallel import make_fused_render
+
+        RT = self._scene()
+        N = 20000
+        ext = (-2.0, 2.0, -2.0, 2.0)
+        render, _ = make_fused_render(RT, N, extent=ext, Nx=95, Ny=95)
+        key = jax.random.PRNGKey(7)
+        fused = np.asarray(jax.jit(render)(key))
+
+        RT2 = self._scene()
+        render2, _ = make_fused_render(RT2, N, extent=ext, Nx=95, Ny=95)
+        stored = np.asarray(render2(key))    # eager: op-by-op rounding
+
+        assert fused[:, :, 3].sum() == pytest.approx(stored[:, :, 3].sum(), rel=1e-4)
+        # allow single-bin migrations for rays that sit on bin boundaries
+        diff_pow = np.abs(fused[:, :, 3] - stored[:, :, 3]).sum()
+        assert diff_pow < 2e-3 * stored[:, :, 3].sum()
+
+    def test_iterative_render_power(self):
+        RT = self._scene()
+        RT.ITER_RAYS_STEP = 20000
+        with ot.global_options.no_progress_bar():
+            img = RT.iterative_render(60000)[0]
+        assert 0.85 < img.power() < 1.0
+
+    def test_iterative_matches_single_trace(self):
+        """Batched fused accumulation converges to the one-shot image."""
+        RT = self._scene()
+        RT.ITER_RAYS_STEP = 30000
+        with ot.global_options.no_progress_bar():
+            it = RT.iterative_render(90000, extent=[-2, 2, -2, 2])[0]
+        RT2 = self._scene()
+        RT2.trace(90000)
+        one = RT2.detector_image(extent=[-2, 2, -2, 2])
+        assert it.power() == pytest.approx(one.power(), rel=5e-3)
+        # different seeds ⇒ MC shot noise; compare on a coarse grid where
+        # per-bin noise is ≲2%
+        a = it.get("Irradiance", 9).data
+        b = one.get("Irradiance", 9).data
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.995
