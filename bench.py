@@ -16,6 +16,14 @@ speedup over the 85 ms figure.
 If the reference ZEMAX fixtures are not mounted, an equivalent synthetic
 57-surface all-spherical stack is used so the workload shape (surface
 count, dispersive media, image-source sampling) is preserved.
+
+Besides the headline no-pol figure, the JSON line carries:
+- pol_value / pol_vs_baseline_*: the same workload with full polarization
+  transport (reference pol baselines 0.218 s 1-core … 0.073 s 16-core,
+  docs/source/development/testing.rst:100-113);
+- scaling_efficiency_2dev_cpu: weak scaling of the sharded fused render,
+  1 device pinned to 1 core vs 2 devices on the 2 physical cores of this
+  host (per-device resources constant — target ≥85%).
 """
 
 import json
@@ -31,6 +39,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax  # noqa: E402
 
 BASELINE_S_PER_SURFACE_PER_MRAY = 0.085
+BASELINE_POL_1CORE = 0.218     # testing.rst:102-103
+BASELINE_POL_16CORE = 0.073    # testing.rst:112-113 (best multicore)
 RES = "/root/reference/examples/resources"
 
 
@@ -96,33 +106,130 @@ def build_synthetic():
     return RT
 
 
-def main():
-    RT = build_microscope() if os.path.isdir(RES) else build_synthetic()
-    n_surfaces = len(RT.tracing_surfaces)
-
-    N = 1_000_000
+def _time_trace(RT, N=1_000_000, reps=5):
+    """Mean trace wall time, compile excluded (reference benchmark.py:70-90)."""
     nt = len(RT.tracing_surfaces) + 2
     RT.rays.init(RT.ray_sources, N, nt, RT.no_pol)
     fn = RT._get_trace_fn(N)
-
     out = fn(jax.random.PRNGKey(0))           # warmup/compile
     jax.block_until_ready(out)
-
-    reps = 5
     t0 = time.perf_counter()
     for i in range(reps):
         out = fn(jax.random.PRNGKey(i + 1))
         jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+    return (time.perf_counter() - t0) / reps, N
 
-    s_per_surface_per_mray = dt / n_surfaces / (N / 1e6)
-    print(json.dumps({
+
+def scaling_main(n_dev: int):
+    """One leg of the weak-scaling probe: trace+render N_PER_DEV rays per
+    device on an n_dev CPU mesh and print the mean step time. The caller
+    pins this process to n_dev cores, so per-device compute resources are
+    constant across legs — the honest weak-scaling setup on a 2-core host."""
+    import numpy as np
+    from jax.sharding import Mesh
+    import optrace_tpu as ot
+    from optrace_tpu.parallel.render import make_sharded_render
+
+    RT = ot.Raytracer(outline=[-10, 10, -10, 10, -5, 60], no_pol=True)
+    RT.add(ot.RaySource(ot.CircularSurface(r=1), pos=[0, 0, 0],
+                        divergence="Lambertian", div_angle=8,
+                        spectrum=ot.presets.light_spectrum.d65))
+    RT.add(ot.Lens(ot.SphericalSurface(r=5, R=30), ot.SphericalSurface(r=5, R=-40),
+                   n=ot.presets.refraction_index.BK7, pos=[0, 0, 10], de=0.5))
+    RT.add(ot.Lens(ot.SphericalSurface(r=5, R=25), ot.SphericalSurface(r=5, R=-25),
+                   n=ot.presets.refraction_index.F2, pos=[0, 0, 20], de=0.5))
+    RT.add(ot.Detector(ot.RectangularSurface(dim=[8, 8]), pos=[0, 0, 50]))
+
+    N_PER_DEV = 2_000_000
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("rays",))
+    step, _ = make_sharded_render(RT, N_PER_DEV * n_dev, mesh=mesh,
+                                  extent=[-4, 4, -4, 4], Nx=189, Ny=189)
+    out = step(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(3):
+        out = step(jax.random.PRNGKey(i + 1))
+        jax.block_until_ready(out)
+    t = (time.perf_counter() - t0) / 3
+    print(json.dumps({"n_dev": n_dev, "t_s": round(t, 4), "rays_per_dev": N_PER_DEV}))
+
+
+def _measure_scaling():
+    """Weak scaling on the CPU backend: 1 device pinned to 1 core vs
+    2 devices on 2 cores (this host has 2 physical cores). Run in
+    subprocesses because the main bench may sit on the TPU backend."""
+    import subprocess
+    times = {}
+    for nd in (1, 2):
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+                   + f" --xla_force_host_platform_device_count={nd}")
+        env.pop("PYTHONPATH", None)
+        cores = ",".join(str(c) for c in range(nd))
+        cmd = ["taskset", "-c", cores, sys.executable,
+               os.path.abspath(__file__), "--scaling-leg", str(nd)]
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=1500, env=env)
+            for line in reversed(out.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    times[nd] = json.loads(line)
+                    break
+        except Exception:
+            return None
+    if 1 not in times or 2 not in times:
+        return None
+    eff = times[1]["t_s"] / times[2]["t_s"]
+    return {"scaling_efficiency": round(eff, 3),
+            "t_1dev_1core_s": times[1]["t_s"], "t_2dev_2core_s": times[2]["t_s"],
+            "rays_per_dev": times[1]["rays_per_dev"]}
+
+
+def main():
+    have_fixtures = os.path.isdir(RES)
+
+    # --- headline: no-pol microscope trace --------------------------------
+    RT = build_microscope() if have_fixtures else build_synthetic()
+    n_surfaces = len(RT.tracing_surfaces)
+    dt, N = _time_trace(RT)
+    s_nopol = dt / n_surfaces / (N / 1e6)
+
+    result = {
         "metric": f"s/surface/Mrays ({n_surfaces}-surface microscope trace, no pol)",
-        "value": round(s_per_surface_per_mray, 6),
+        "value": round(s_nopol, 6),
         "unit": "s",
-        "vs_baseline": round(BASELINE_S_PER_SURFACE_PER_MRAY / s_per_surface_per_mray, 2),
-    }))
+        "vs_baseline": round(BASELINE_S_PER_SURFACE_PER_MRAY / s_nopol, 2),
+    }
+
+    # --- with-polarization variant (reference pol baselines 0.073–0.218 s,
+    # docs/source/development/testing.rst:100-113) -------------------------
+    try:
+        RT_pol = build_microscope() if have_fixtures else build_synthetic()
+        RT_pol.no_pol = False
+        dt_pol, N_pol = _time_trace(RT_pol)
+        s_pol = dt_pol / n_surfaces / (N_pol / 1e6)
+        result |= {
+            "pol_value": round(s_pol, 6),
+            "pol_vs_baseline_1core": round(BASELINE_POL_1CORE / s_pol, 2),
+            "pol_vs_baseline_16core": round(BASELINE_POL_16CORE / s_pol, 2),
+        }
+    except Exception as e:   # never lose the headline
+        result["pol_error"] = repr(e)[:200]
+
+    # --- weak scaling on the CPU mesh (2 physical cores) ------------------
+    try:
+        scaling = _measure_scaling()
+        if scaling:
+            result["scaling_efficiency_2dev_cpu"] = scaling["scaling_efficiency"]
+            result["scaling_detail"] = scaling
+    except Exception as e:
+        result["scaling_error"] = repr(e)[:200]
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if "--scaling-leg" in sys.argv:
+        scaling_main(int(sys.argv[sys.argv.index("--scaling-leg") + 1]))
+    else:
+        main()

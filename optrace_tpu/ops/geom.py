@@ -213,14 +213,22 @@ def hit_conic(o, s, rho, k, z_min_rel, z_max_rel):
     z1 = oz + sz * t1
     z2 = oz + sz * t2
     lo, hi = z_min_rel - N_EPS, z_max_rel + N_EPS
-    ok1 = (lo <= z1) & (z1 <= hi) & (z1 >= oz) & jnp.isfinite(t1)
-    ok2 = (lo <= z2) & (z2 <= hi) & (z2 >= oz) & jnp.isfinite(t2)
+    # forward test with a C_EPS backward tolerance: rays restarting ON a
+    # surface (cemented doublets are 1e-7 mm apart in ZEMAX files) carry
+    # f32 jitter ~1e-8 mm that an exact z >= oz would misread as backward
+    # and absorb the ray (the reference's exact test only survives because
+    # its f64 jitter is ~1e-13, conic_surface.py:158-164)
+    fw = oz - C_EPS
+    ok1 = (lo <= z1) & (z1 <= hi) & (z1 >= fw) & jnp.isfinite(t1)
+    ok2 = (lo <= z2) & (z2 <= hi) & (z2 >= fw) & jnp.isfinite(t2)
 
-    # prefer the valid root; when both are valid take the smaller t
-    # (matches the reference's selection rule conic_surface.py:166-172)
+    # prefer the forward in-range root, smaller t when both qualify; accept
+    # the CHOSEN root by its z-range like the reference (:166-192)
     use1 = ok1 & ~(ok2 & (t2 < t1))
     t = jnp.where(use1, t1, t2)
-    valid = has_root & (ok1 | ok2) & ~(lin & (jnp.abs(B) <= N_EPS))
+    z_sel = jnp.where(use1, z1, z2)
+    in_range = (lo <= z_sel) & (z_sel <= hi) & jnp.isfinite(t)
+    valid = has_root & in_range & ~(lin & (jnp.abs(B) <= N_EPS))
 
     # one Newton polish on Q(t)=At²+2Bt+C mops up the remaining f32
     # rounding of the root (residual drops ~5× at long throws)

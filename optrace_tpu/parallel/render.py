@@ -94,6 +94,7 @@ def make_fused_render_multi(RT, N_batch: int, configs: list):
     outline = tuple(float(v) for v in RT.outline)
     n0_fn = RT.n0
     no_pol, use_hurb = RT.no_pol, RT.use_hurb
+    hurb_factor = float(RT.HURB_FACTOR)
 
     sinks, finalizers, exts = [], [], []
     for cfg in configs:
@@ -110,7 +111,8 @@ def make_fused_render_multi(RT, N_batch: int, configs: list):
         p, s, pols, w, wl = gen(k_src)
         out = trace_bundle(steps, n0_fn, outline, p, s, pols, w, wl,
                            no_pol, use_hurb, key=k_trace,
-                           sinks=sinks, store_sections=False)
+                           sinks=sinks, store_sections=False,
+                           hurb_factor=hurb_factor)
         imgs = [fin(carry, out["wl"]) for fin, carry in zip(finalizers, out["sinks"])]
         return imgs, out["infos"]
 

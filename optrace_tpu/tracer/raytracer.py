@@ -269,27 +269,33 @@ class Raytracer(Group):
         accuracy-oracle variant of the same scene."""
         steps = []
         n_before = self.n0
+
+        def ph(surf):
+            return tuple(float(v) for v in surf.pos)
+
         for el in self._tracing_elements():
             if isinstance(el, IdealLens):
                 sfns = compile_surface(el.front, dtype)
                 n2 = el.n2 if el.n2 is not None else self.n0
-                steps.append(TraceStep(sfns, "ideal", n1_fn=n_before, n2_fn=n2, D=el.D))
+                steps.append(TraceStep(sfns, "ideal", n1_fn=n_before, n2_fn=n2,
+                                       D=el.D, pos_host=ph(el.front)))
                 n_before = n2
             elif isinstance(el, Lens):
                 n2 = el.n2 if el.n2 is not None else self.n0
                 steps.append(TraceStep(compile_surface(el.front, dtype), "refract",
-                                       n1_fn=n_before, n2_fn=el.n))
+                                       n1_fn=n_before, n2_fn=el.n, pos_host=ph(el.front)))
                 steps.append(TraceStep(compile_surface(el.back, dtype), "refract",
-                                       n1_fn=el.n, n2_fn=n2))
+                                       n1_fn=el.n, n2_fn=n2, pos_host=ph(el.back)))
                 n_before = n2
             elif isinstance(el, Filter):
                 steps.append(TraceStep(compile_surface(el.front, dtype), "filter",
-                                       spectrum_fn=el.spectrum))
+                                       spectrum_fn=el.spectrum, pos_host=ph(el.front)))
             elif isinstance(el, Aperture):
                 kind = "ring" if isinstance(el.front, RingSurface) \
                     else ("slit" if isinstance(el.front, SlitSurface) else "")
                 steps.append(TraceStep(compile_surface(el.front, dtype), "absorb",
-                                       hurb=bool(kind), hurb_kind=kind))
+                                       hurb=bool(kind), hurb_kind=kind,
+                                       pos_host=ph(el.front)))
         return steps
 
     def _make_source_fn(self, N: int):
@@ -353,7 +359,7 @@ class Raytracer(Group):
     def _get_trace_fn(self, N: int):
         """Jitted trace function, cached per (scene snapshot, N)."""
         snap = repr(dict(Ambient=[tuple(self.outline), self.n0.crepr()],
-                         TraceSettings=[self.no_pol, self.use_hurb],
+                         TraceSettings=[self.no_pol, self.use_hurb, self.HURB_FACTOR],
                          Lenses=[D.crepr() for D in self.lenses],
                          Filters=[D.crepr() for D in self.filters],
                          Apertures=[D.crepr() for D in self.apertures],
@@ -368,13 +374,15 @@ class Raytracer(Group):
         outline = tuple(float(v) for v in self.outline)
         n0_fn = self.n0
         no_pol, use_hurb = self.no_pol, self.use_hurb
+        hurb_factor = float(self.HURB_FACTOR)
 
         @jax.jit
         def run(key):
             k_src, k_trace = jax.random.split(key)
             p, s, pols, w, wl = gen(k_src)
             return trace_bundle(steps, n0_fn, outline, p, s, pols, w, wl,
-                                no_pol, use_hurb, key=k_trace)
+                                no_pol, use_hurb, key=k_trace,
+                                hurb_factor=hurb_factor)
 
         if len(self._trace_cache) > 8:
             self._trace_cache.clear()

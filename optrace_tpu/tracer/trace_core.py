@@ -47,6 +47,12 @@ class TraceStep(NamedTuple):
     D: float = 0.0                   # optical power in dpt (ideal)
     hurb: bool = False               # HURB bending at this aperture
     hurb_kind: str = ""              # "ring" | "slit"
+    pos_host: Optional[tuple] = None  # static f64 vertex position; enables
+    #   per-surface local-frame re-centering (the f32 accuracy anchor: ray
+    #   state is kept relative to the CURRENT surface vertex, so position
+    #   rounding is ~eps*(gap+aperture) instead of eps*|z_absolute| — at
+    #   z=430 mm the difference is 5e-5 vs 1e-6 mm, and cemented doublet
+    #   interfaces 1e-7 mm apart stop absorbing rays spuriously)
 
 
 # ----------------------------------------------------------------------
@@ -59,13 +65,11 @@ def _surface_hit(step: TraceStep, p, s, hw):
     Returns (p_new, hit, ill, n_broken).
     """
     params = step.sfns.params
-    pos = params["pos"]
-    o = p - pos
-    t, valid, ill = step.sfns.hit_fn(params, o, s)
-    t2, ok, broken = geom.clamp_abnormal(o, s, t, valid, params["z_max_rel"])
+    # p is already relative to the surface vertex (local frame)
+    t, valid, ill = step.sfns.hit_fn(params, p, s)
+    t2, ok, broken = geom.clamp_abnormal(p, s, t, valid, params["z_max_rel"])
     p_hit = p + t2[:, None] * s
-    rel = p_hit - pos
-    hit = step.sfns.mask_fn(params, rel[:, 0], rel[:, 1]) & ok
+    hit = step.sfns.mask_fn(params, p_hit[:, 0], p_hit[:, 1]) & ok
     p_new = jnp.where(hw[:, None], p_hit, p)
     hit = hit & hw
     return p_new, hit, ill & hw, jnp.sum((broken & hw).astype(jnp.int32))
@@ -120,8 +124,7 @@ def _outline_intersection(p_prev, p_new, s, w, outline):
 def _refract(step: TraceStep, p_new, s, w, wl, pols, hit, no_pol):
     """Snell + Fresnel at a refracting surface (reference :761-829)."""
     params = step.sfns.params
-    rel = p_new - params["pos"]
-    n = step.sfns.normal_fn(params, rel[:, 0], rel[:, 1])
+    n = step.sfns.normal_fn(params, p_new[:, 0], p_new[:, 1])
 
     n1 = step.n1_fn(wl)
     n2 = step.n2_fn(wl)
@@ -154,11 +157,10 @@ def _refract(step: TraceStep, p_new, s, w, wl, pols, hit, no_pol):
 def _refract_ideal(step: TraceStep, p_new, s, pols, hit, no_pol):
     """Ideal-lens refraction (reference :720-759): focuses to the paraxial
     image plane without aberrations. f in mm = 1000/D[dpt]."""
-    params = step.sfns.params
     f = 1000.0 / step.D
     fsz = f / s[:, 2]
-    sx = s[:, 0] * fsz - (p_new[:, 0] - params["pos"][0])
-    sy = s[:, 1] * fsz - (p_new[:, 1] - params["pos"][1])
+    sx = s[:, 0] * fsz - p_new[:, 0]
+    sy = s[:, 1] * fsz - p_new[:, 1]
     s_ = jnp.stack([sx, sy, jnp.full_like(sx, f)], axis=-1)
     s_ = normalize_safe(s_) * np.sign(f)
 
@@ -167,13 +169,13 @@ def _refract_ideal(step: TraceStep, p_new, s, pols, hit, no_pol):
     return s_new, pols_new
 
 
-def _hurb(step: TraceStep, key, p_new, s, w, wl, n_amb, pols, bend_candidates, no_pol):
+def _hurb(step: TraceStep, key, p_new, s, w, wl, n_amb, pols, bend_candidates, no_pol,
+          factor: float = HURB_FACTOR):
     """Heisenberg-uncertainty ray bending at a Ring/Slit aperture opening
     (reference :417-490): tangent-direction Gaussian perturbation with
     tanσ = HURB_FACTOR/(2·a·cosψ·k)."""
     params = step.sfns.params
-    rel = p_new - params["pos"]
-    x, y = rel[:, 0], rel[:, 1]
+    x, y = p_new[:, 0], p_new[:, 1]
 
     if step.hurb_kind == "ring":
         R = params["ri"]
@@ -205,8 +207,8 @@ def _hurb(step: TraceStep, key, p_new, s, w, wl, n_amb, pols, bend_candidates, n
     k = 2.0 * jnp.pi * n_amb / (wl * 1e-9)
     safe_a = jnp.where(a_ > 0, a_, 1.0)
     safe_b = jnp.where(b_ > 0, b_, 1.0)
-    tan_sig_a = HURB_FACTOR / (2.0 * safe_a * cos_psi_a * 1e-3 * k)
-    tan_sig_b = HURB_FACTOR / (2.0 * safe_b * cos_psi_b * 1e-3 * k)
+    tan_sig_a = factor / (2.0 * safe_a * cos_psi_a * 1e-3 * k)
+    tan_sig_b = factor / (2.0 * safe_b * cos_psi_b * 1e-3 * k)
 
     k1, k2 = jax.random.split(key)
     tan_tha = jax.random.normal(k1, x.shape) * jnp.abs(tan_sig_a)
@@ -231,7 +233,8 @@ def _hurb(step: TraceStep, key, p_new, s, w, wl, n_amb, pols, bend_candidates, n
 def trace_bundle(steps: list, n0_fn: Callable, outline,
                  p, s, pols, w, wl, no_pol: bool,
                  use_hurb: bool, key=None,
-                 sinks: list = None, store_sections: bool = True):
+                 sinks: list = None, store_sections: bool = True,
+                 hurb_factor: float = HURB_FACTOR):
     """Trace a ray bundle through the unrolled step list.
 
     :param steps: list[TraceStep] including the implicit end absorber
@@ -259,6 +262,8 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
     infos = [jnp.zeros((N_INFOS,), dtype=jnp.int32)]
     carries = [init for _, init in sinks] if sinks else []
     n_amb_last = sections_n[-1]
+    outline64 = np.asarray(outline, dtype=np.float64)
+    prev_pos = np.zeros(3, dtype=np.float64)   # current frame origin (static)
 
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -266,6 +271,25 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
     for idx, step in enumerate(steps):
         info = jnp.zeros((N_INFOS,), dtype=jnp.int32)
         hw = w > 0.0
+
+        # local-frame re-centering: shift the ray state into the frame of
+        # THIS surface's vertex. The shift is a static f64 delta, so f32
+        # position rounding stays O(eps·(gap+aperture)) instead of
+        # O(eps·|z_absolute|) — see TraceStep.pos_host.
+        pos_h = np.asarray(step.pos_host, dtype=np.float64) \
+            if step.pos_host is not None \
+            else np.asarray(step.sfns.params["pos"], dtype=np.float64)
+        delta = pos_h - prev_pos
+        if np.any(delta):
+            p = p - jnp.asarray(delta, dtype=p.dtype)
+        # traced residual (exactly 0 in the forward pass, params["pos"]
+        # equals pos_host): keeps d(image)/d(surface position) flowing for
+        # the differentiable-design path (tracer/diff.py) even though the
+        # frame shift itself is a static constant
+        p = p - (step.sfns.params["pos"] - jnp.asarray(pos_h, dtype=p.dtype))
+        prev_pos = pos_h
+        out_rel = tuple(float(outline64[i] - pos_h[i // 2]) for i in range(6))
+
         p_prev = p
         w_prev = w
 
@@ -301,23 +325,29 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
             if use_hurb and step.hurb:
                 key, sub = jax.random.split(key)
                 s, w, pols, n_neg = _hurb(step, sub, p, s, w, wl, n_amb_last,
-                                          pols, passing, no_pol)
+                                          pols, passing, no_pol, hurb_factor)
                 info = info.at[HURB_NEG_DIR].add(n_neg)
             n_after = n_amb_last
         else:  # pragma: no cover
             raise RuntimeError(f"unknown action {step.action}")
 
-        p, w, n_out = _outline_intersection(p_prev, p, s, w, outline)
+        p, w, n_out = _outline_intersection(p_prev, p, s, w, out_rel)
         info = info.at[OUTLINE_INTERSECTION].add(n_out)
 
-        if sinks:
-            carries = [fn(idx, p_prev, p, w_prev, c)
-                       for (fn, _), c in zip(sinks, carries)]
+        if sinks or store_sections:
+            # sections and sinks see absolute coordinates (single rounding
+            # at output, does not feed back into the trace state)
+            off = jnp.asarray(pos_h, dtype=p.dtype)
+            p_abs = p + off
+            if sinks:
+                p_prev_abs = p_prev + off
+                carries = [fn(idx, p_prev_abs, p_abs, w_prev, c)
+                           for (fn, _), c in zip(sinks, carries)]
 
         n_amb_last = n_after
         infos.append(info)
         if store_sections:
-            sections_p.append(p)
+            sections_p.append(p_abs)
             sections_w.append(w)
             sections_pol.append(pols)
             sections_n.append(n_after)

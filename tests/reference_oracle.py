@@ -26,7 +26,25 @@ def _stub_traits():
         sys.modules["traits.etsconfig.api"] = api
     if "chardet" not in sys.modules:
         chardet = types.ModuleType("chardet")
-        chardet.detect = lambda b: {"encoding": "utf-8"}
+
+        def _detect(b, **kw):
+            # BOM-based detection is enough for the ZEMAX fixtures
+            if b.startswith(b"\xff\xfe\x00\x00"):
+                return {"encoding": "utf-32-le"}
+            if b.startswith(b"\xff\xfe"):
+                return {"encoding": "utf-16-le"}
+            if b.startswith(b"\xfe\xff"):
+                return {"encoding": "utf-16-be"}
+            if b.startswith(b"\xef\xbb\xbf"):
+                return {"encoding": "utf-8-sig"}
+            try:
+                b.decode("utf-8")
+                return {"encoding": "utf-8"}
+            except UnicodeDecodeError:
+                return {"encoding": "latin-1"}
+
+        chardet.detect = _detect
+        chardet.EncodingEra = types.SimpleNamespace(MODERN_WEB=None)
         sys.modules["chardet"] = chardet
 
 

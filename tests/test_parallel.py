@@ -130,7 +130,10 @@ class TestFusedIterative:
         ph2, wsel2, ish2, _ = detector_hits(sfns, zmin, out["p"], out["w"],
                                             segment_mask=seg)
         np.testing.assert_array_equal(np.asarray(ish1 & done1), np.asarray(ish2))
-        np.testing.assert_array_equal(np.asarray(ph1), np.asarray(ph2))
+        # the sink sees positions re-based from the local trace frame, the
+        # stored scan re-bases from the previous surface's frame — equal up
+        # to one f32 ulp of the absolute coordinate
+        np.testing.assert_allclose(np.asarray(ph1), np.asarray(ph2), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(wsel1), np.asarray(wsel2))
 
     def test_fused_image_matches_stored_image(self):
