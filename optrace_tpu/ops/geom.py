@@ -231,11 +231,21 @@ def hit_conic(o, s, rho, k, z_min_rel, z_max_rel):
     valid = has_root & in_range & ~(lin & (jnp.abs(B) <= N_EPS))
 
     # one Newton polish on Q(t)=At²+2Bt+C mops up the remaining f32
-    # rounding of the root (residual drops ~5× at long throws)
+    # rounding of the root (residual drops ~5× at long throws).
+    # Guard RELATIVELY: at a root |Q'| = 2D, so near-tangent rays
+    # (disc≈0, double root) have Q' at the f32 noise floor of its own
+    # terms and the step Qv/Qp is noise/noise — skip the polish there.
+    # The accepted step is also clamped and re-validated against the
+    # z-range so a bad step can never displace a valid hit.
     Qp = 2.0 * (A * t + B)
     Qv = (A * t + 2.0 * B) * t + C
-    ok_p = valid & (jnp.abs(Qp) > N_EPS) & jnp.isfinite(t)
-    t = jnp.where(ok_p, t - Qv / jnp.where(ok_p, Qp, 1.0), t)
+    scale = jnp.abs(A * t) + jnp.abs(B)
+    ok_p = valid & (jnp.abs(Qp) > 1e-5 * scale + N_EPS) & jnp.isfinite(t)
+    step = jnp.clip(Qv / jnp.where(ok_p, Qp, 1.0), -1e-3, 1e-3)
+    t_pol = t - step
+    z_pol = oz + sz * t_pol
+    ok_p = ok_p & (lo <= z_pol) & (z_pol <= hi)
+    t = jnp.where(ok_p, t_pol, t)
     return t, valid
 
 

@@ -85,7 +85,10 @@ def make_fused_render_multi(RT, N_batch: int, configs: list):
     :param N_batch: rays per call
     :param configs: list of dicts with keys detector_index, extent
         (4-tuple or None → detector surface extent), projection_method,
-        Nx, Ny
+        Nx, Ny, and optionally pos (detector position; the detector is
+        moved there BEFORE its sink is captured, so one detector rendered
+        at several positions binds each position correctly — each sink
+        closes over surface state at capture time)
     :return: (render(key) -> (list[(Ny,Nx,4) imgs], infos), list[extent])
     """
     RT.rays.init(RT.ray_sources, N_batch, len(RT.tracing_surfaces) + 2, RT.no_pol)
@@ -98,6 +101,8 @@ def make_fused_render_multi(RT, N_batch: int, configs: list):
 
     sinks, finalizers, exts = [], [], []
     for cfg in configs:
+        if cfg.get("pos") is not None:
+            RT.detectors[cfg.get("detector_index", 0)].move_to(cfg["pos"])
         sink, fin, ext = _detector_sink(RT, cfg.get("detector_index", 0),
                                         cfg.get("projection_method", "Equidistant"),
                                         cfg.get("extent"), cfg.get("Nx", 945),
@@ -120,13 +125,15 @@ def make_fused_render_multi(RT, N_batch: int, configs: list):
 
 
 def make_fused_render(RT, N_batch: int, detector_index: int = 0,
-                      extent=None, Nx: int = 945, Ny: int = 945):
+                      extent=None, Nx: int = 945, Ny: int = 945,
+                      projection_method: str = "Equidistant"):
     """Single-detector fused render step: key → (Ny, Nx, 4) XYZW image.
 
     ``extent`` must be fixed (auto-extent requires a host round trip).
     """
     render, exts = make_fused_render_multi(
         RT, N_batch, [dict(detector_index=detector_index, extent=extent,
+                           projection_method=projection_method,
                            Nx=Nx, Ny=Ny)])
 
     def render_one(key):
@@ -138,7 +145,8 @@ def make_fused_render(RT, N_batch: int, detector_index: int = 0,
 
 def make_sharded_render(RT, N_batch: int, mesh: Mesh = None, detector_index: int = 0,
                         extent=None, Nx: int = 945, Ny: int = 945,
-                        axis_name: str = "rays"):
+                        axis_name: str = "rays",
+                        projection_method: str = "Equidistant"):
     """Sharded fused render step over a device mesh.
 
     Returns ``(step, extent)`` where ``step(keys)`` takes per-device PRNG
@@ -150,7 +158,8 @@ def make_sharded_render(RT, N_batch: int, mesh: Mesh = None, detector_index: int
     if N_batch % n_dev:
         raise ValueError(f"N_batch={N_batch} must be divisible by the mesh size {n_dev}.")
 
-    render_one, ext = make_fused_render(RT, N_batch // n_dev, detector_index, extent, Nx, Ny)
+    render_one, ext = make_fused_render(RT, N_batch // n_dev, detector_index, extent,
+                                        Nx, Ny, projection_method)
 
     @partial(shard_map, mesh=mesh, in_specs=P(axis_name), out_specs=P())
     def step(keys):

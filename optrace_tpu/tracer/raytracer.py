@@ -652,15 +652,17 @@ class Raytracer(Group):
             from ..parallel.render import make_fused_render_multi
 
             def build(nrays):
-                configs = []
-                for j in range(len(pos)):
-                    self.detectors[detector_index[j]].move_to(pos[j])
-                    Im = DIm_res[j]
-                    configs.append(dict(detector_index=detector_index[j],
-                                        extent=tuple(Im.extent),
-                                        filter_extent=tuple(extentc[j]),
-                                        projection_method=projection_method[j],
-                                        Ny=Im._data.shape[0], Nx=Im._data.shape[1]))
+                # pos goes INTO the config so make_fused_render_multi moves
+                # the detector before capturing each sink — one detector at
+                # several positions must bind each position, not the last
+                configs = [dict(detector_index=detector_index[j],
+                                pos=pos[j],
+                                extent=tuple(DIm_res[j].extent),
+                                filter_extent=tuple(extentc[j]),
+                                projection_method=projection_method[j],
+                                Ny=DIm_res[j]._data.shape[0],
+                                Nx=DIm_res[j]._data.shape[1])
+                           for j in range(len(pos))]
                 render, _ = make_fused_render_multi(self, nrays, configs)
                 return jax.jit(render)
 
@@ -738,7 +740,8 @@ class Raytracer(Group):
         if mesh is not None:
             step, _ = make_sharded_render(self, batch, mesh=mesh,
                                           detector_index=detector_index,
-                                          extent=tuple(img.extent), Nx=Nx, Ny=Ny)
+                                          extent=tuple(img.extent), Nx=Nx, Ny=Ny,
+                                          projection_method=projection_method)
         else:
             render, _ = make_fused_render_multi(
                 self, batch, [dict(detector_index=detector_index,

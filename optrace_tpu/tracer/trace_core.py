@@ -279,16 +279,20 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
         pos_h = np.asarray(step.pos_host, dtype=np.float64) \
             if step.pos_host is not None \
             else np.asarray(step.sfns.params["pos"], dtype=np.float64)
-        delta = pos_h - prev_pos
-        if np.any(delta):
-            p = p - jnp.asarray(delta, dtype=p.dtype)
+        # track the APPLIED cumulative origin: the shift lands on p after
+        # rounding to p's dtype, so accumulate exactly what was applied —
+        # prev_pos then IS the frame origin (one rounding from pos_h per
+        # step, not a random walk of per-step rounding errors)
+        delta_applied = np.asarray(pos_h - prev_pos, dtype=p.dtype)
+        if np.any(delta_applied):
+            p = p - jnp.asarray(delta_applied, dtype=p.dtype)
+            prev_pos = prev_pos + np.asarray(delta_applied, dtype=np.float64)
         # traced residual (exactly 0 in the forward pass, params["pos"]
         # equals pos_host): keeps d(image)/d(surface position) flowing for
         # the differentiable-design path (tracer/diff.py) even though the
         # frame shift itself is a static constant
         p = p - (step.sfns.params["pos"] - jnp.asarray(pos_h, dtype=p.dtype))
-        prev_pos = pos_h
-        out_rel = tuple(float(outline64[i] - pos_h[i // 2]) for i in range(6))
+        out_rel = tuple(float(outline64[i] - prev_pos[i // 2]) for i in range(6))
 
         p_prev = p
         w_prev = w
@@ -336,8 +340,9 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
 
         if sinks or store_sections:
             # sections and sinks see absolute coordinates (single rounding
-            # at output, does not feed back into the trace state)
-            off = jnp.asarray(pos_h, dtype=p.dtype)
+            # at output, does not feed back into the trace state); rebase
+            # from the APPLIED origin, the frame p actually lives in
+            off = jnp.asarray(prev_pos, dtype=p.dtype)
             p_abs = p + off
             if sinks:
                 p_prev_abs = p_prev + off

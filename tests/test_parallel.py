@@ -180,3 +180,24 @@ class TestFusedIterative:
         a = it.get("Irradiance", 9).data
         b = one.get("Irradiance", 9).data
         assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.995
+
+    def test_iterative_render_multi_position(self):
+        """ONE detector rendered at several positions: every fused sink must
+        bind its own position, not the last move_to (advisor r2 finding —
+        sinks were captured after the config loop, so batches 2+ accumulated
+        the last position's image into every slot)."""
+        positions = [[0, 0, 22], [0, 0, 30]]
+        RT = self._scene()
+        RT.ITER_RAYS_STEP = 30000
+        with ot.global_options.no_progress_bar():
+            imgs = RT.iterative_render(90000, pos=positions,
+                                       extent=[[-2, 2, -2, 2]] * 2)
+        for pos, it in zip(positions, imgs):
+            RT2 = self._scene()
+            RT2.detectors[0].move_to(pos)
+            RT2.trace(90000)
+            one = RT2.detector_image(extent=[-2, 2, -2, 2])
+            a = it.get("Irradiance", 9).data
+            b = one.get("Irradiance", 9).data
+            assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.995, pos
+            assert it.power() == pytest.approx(one.power(), rel=5e-3)
