@@ -75,7 +75,7 @@ def _detector_sink(RT, detector_index: int, projection_method, extent,
             wm = jnp.where(inside, wm, 0.0)
         return binning.bin_xyzw(x, y, wm, wl, Nx, Ny, ext)
 
-    return sink, finalize, ext
+    return sink, finalize, ext, seg_mask
 
 
 def make_fused_render_multi(RT, N_batch: int, configs: list):
@@ -103,11 +103,14 @@ def make_fused_render_multi(RT, N_batch: int, configs: list):
     for cfg in configs:
         if cfg.get("pos") is not None:
             RT.detectors[cfg.get("detector_index", 0)].move_to(cfg["pos"])
-        sink, fin, ext = _detector_sink(RT, cfg.get("detector_index", 0),
-                                        cfg.get("projection_method", "Equidistant"),
-                                        cfg.get("extent"), cfg.get("Nx", 945),
-                                        cfg.get("Ny", 945), cfg.get("filter_extent"))
-        sinks.append((sink, init_hit_carry(N_batch)))
+        sink, fin, ext, seg_mask = _detector_sink(
+            RT, cfg.get("detector_index", 0),
+            cfg.get("projection_method", "Equidistant"),
+            cfg.get("extent"), cfg.get("Nx", 945),
+            cfg.get("Ny", 945), cfg.get("filter_extent"))
+        # the seg_mask rides along so trace_bundle can keep conic runs whose
+        # segments no sink consumes on the scanned fast path
+        sinks.append((sink, init_hit_carry(N_batch), seg_mask))
         finalizers.append(fin)
         exts.append(ext)
 

@@ -16,6 +16,7 @@ Two entry points share the same per-segment kernel:
   no (N, nt, 3) section tensor ever materializes.
 """
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import geom
@@ -97,11 +98,33 @@ def detector_hits(sfns: SurfaceFns, det_zmin: float, p_all, w_all,
     """
     nt = p_all.shape[1]
     carry = init_hit_carry(p_all.shape[0], p_all.dtype)
-    for j in range(nt - 1):
-        if segment_mask is not None and not segment_mask[j]:
-            continue
-        carry = segment_update(sfns, det_zmin, p_all[:, j], p_all[:, j + 1],
-                               w_all[:, j], carry)
+    js = [j for j in range(nt - 1)
+          if segment_mask is None or segment_mask[j]]
+
+    if len(js) >= 4:
+        # many active segments (e.g. the differentiable-design path without
+        # a mask): run ONE scanned segment body instead of nt-1 unrolled
+        # copies, keeping XLA program size O(1) in surface count
+        pj = jnp.stack([p_all[:, j] for j in js])          # (L, N, 3)
+        pj1 = jnp.stack([p_all[:, j + 1] for j in js])
+        wj = jnp.stack([w_all[:, j] for j in js])
+
+        leaves = [pj, pj1, wj]
+        vma = frozenset().union(*(jax.typeof(a).vma for a in leaves))
+
+        def _pv(a):
+            missing = vma - jax.typeof(a).vma
+            return jax.lax.pcast(a, tuple(missing), to="varying") if missing else a
+
+        def body(c, x):
+            return segment_update(sfns, det_zmin, x[0], x[1], x[2], c), None
+
+        carry = jax.tree_util.tree_map(_pv, carry)
+        carry, _ = jax.lax.scan(body, carry, (pj, pj1, wj))
+    else:
+        for j in js:
+            carry = segment_update(sfns, det_zmin, p_all[:, j], p_all[:, j + 1],
+                                   w_all[:, j], carry)
     ph, wsel, is_hit, done, n_ill = carry
     return ph, wsel, is_hit & done, n_ill
 

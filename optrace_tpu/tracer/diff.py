@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from .trace_core import trace_bundle
-from .detector import detector_hits
+from .detector import detector_hits, build_segment_mask
 from .scene_compile import compile_surface
 from ..ops import binning
 
@@ -41,6 +41,10 @@ def make_parameterized_render(RT, N: int, detector_index: int = 0,
     dsurf = RT.detectors[detector_index].surface
     sfns = compile_surface(dsurf)
     det_zmin = float(dsurf.z_min)
+    # static per-segment relevance: only segments whose section z-ranges can
+    # contain the detector are tested (same pruning as the fused render)
+    seg_mask = build_segment_mask(RT._section_z_bounds(),
+                                  det_zmin, float(dsurf.z_max))
     if extent is None:
         extent = dsurf.extent[:4]
     ext = tuple(float(v) for v in extent)
@@ -54,7 +58,8 @@ def make_parameterized_render(RT, N: int, detector_index: int = 0,
         p, s, pols, w, wl = gen(k_src)
         out = trace_bundle(steps_p, n0_fn, outline, p, s, pols, w, wl,
                            no_pol, use_hurb, key=k_trace)
-        ph, wsel, is_hit, _ = detector_hits(sfns, det_zmin, out["p"], out["w"])
+        ph, wsel, is_hit, _ = detector_hits(sfns, det_zmin, out["p"], out["w"],
+                                            segment_mask=seg_mask)
         wm = jnp.where(is_hit, wsel, 0.0)
         bin_fn = binning.bin_xyzw_soft if soft_bin else binning.bin_xyzw
         return bin_fn(ph[:, 0], ph[:, 1], wm, out["wl"], Nx, Ny, ext)

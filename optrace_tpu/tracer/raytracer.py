@@ -367,7 +367,10 @@ class Raytracer(Group):
                          N_list=tuple(self.rays.N_list)))
         cache_key = (hash(snap), N)
         if cache_key in self._trace_cache:
-            return self._trace_cache[cache_key]
+            # LRU refresh: dict preserves insertion order, re-insert on hit
+            fn = self._trace_cache.pop(cache_key)
+            self._trace_cache[cache_key] = fn
+            return fn
 
         steps = self._build_steps()
         gen = self._make_source_fn(N)
@@ -384,8 +387,10 @@ class Raytracer(Group):
                                 no_pol, use_hurb, key=k_trace,
                                 hurb_factor=hurb_factor)
 
-        if len(self._trace_cache) > 8:
-            self._trace_cache.clear()
+        # LRU eviction of the single oldest entry — a GUI session sweeping
+        # ray counts on a big scene must never drop the whole cache at once
+        while len(self._trace_cache) >= 32:
+            self._trace_cache.pop(next(iter(self._trace_cache)))
         self._trace_cache[cache_key] = run
         return run
 

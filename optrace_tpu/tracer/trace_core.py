@@ -125,10 +125,12 @@ def _refract(step: TraceStep, p_new, s, w, wl, pols, hit, no_pol):
     """Snell + Fresnel at a refracting surface (reference :761-829)."""
     params = step.sfns.params
     n = step.sfns.normal_fn(params, p_new[:, 0], p_new[:, 1])
+    return _refract_core(n, step.n1_fn(wl), step.n2_fn(wl), s, w, pols, hit, no_pol)
 
-    n1 = step.n1_fn(wl)
-    n2 = step.n2_fn(wl)
 
+def _refract_core(n, n1, n2, s, w, pols, hit, no_pol):
+    """Snell + Fresnel given per-ray normals and indices; shared by the
+    unrolled step and the scanned conic-run body."""
     ns = rdot(n, s)                      # cos(alpha)
     Nq = n1 / n2
     W2 = 1.0 - Nq * Nq * (1.0 - ns * ns)
@@ -228,7 +230,176 @@ def _hurb(step: TraceStep, key, p_new, s, w, wl, n_amb, pols, bend_candidates, n
 
 
 # ----------------------------------------------------------------------
-# the unrolled trace
+# scanned conic runs: consecutive conic refractions collapse into ONE
+# lax.scan over stacked parameter tables, so the XLA program size (and
+# compile time) stays O(1) in the number of lens surfaces instead of
+# O(n_surfaces) — a 57-surface microscope compiles the refraction body
+# once (VERDICT r2 #2; SURVEY §7 "element loop → lax.scan over a padded
+# surface table"). Heterogeneous steps (ideal lenses, filters, apertures
+# with HURB, non-conic surfaces) and steps consumed by a streaming sink
+# stay unrolled; real systems are dominated by conic runs.
+
+MIN_SCAN_RUN = 4
+
+
+def _normalize_sinks(sinks):
+    """Sink entries are (fn, init) or (fn, init, seg_mask); normalize to
+    triples. ``seg_mask=None`` means the sink may consume ANY segment,
+    which keeps every step unrolled."""
+    if not sinks:
+        return []
+    return [(e[0], e[1], e[2] if len(e) > 2 else None) for e in sinks]
+
+
+def _frame_chain(steps, dtype):
+    """Host-side local-frame origin chain: per step (pos_h f64, applied
+    delta in the trace dtype, applied origin f64). Shared by the unrolled
+    and scanned paths so both apply bit-identical frame shifts."""
+    prev = np.zeros(3, dtype=np.float64)
+    chain = []
+    for step in steps:
+        pos_h = np.asarray(step.pos_host, dtype=np.float64) \
+            if step.pos_host is not None \
+            else np.asarray(step.sfns.params["pos"], dtype=np.float64)
+        delta = np.asarray(pos_h - prev, dtype=dtype)
+        prev = prev + np.asarray(delta, dtype=np.float64)
+        chain.append((pos_h, delta, prev.copy()))
+    return chain
+
+
+def _partition_runs(steps, sink_masks):
+    """Split the step list into per-step segments and scannable
+    conic-refract runs (("step", [i]) / ("scan", [i..j]) entries)."""
+    def scannable(i):
+        st = steps[i]
+        if st.action != "refract" or st.sfns.kind not in ("conic", "circle", "flat"):
+            return False
+        for m in sink_masks:
+            if m is None or (i < len(m) and m[i]):
+                return False
+        return True
+
+    runs, i = [], 0
+    while i < len(steps):
+        if scannable(i):
+            j = i
+            while j < len(steps) and scannable(j):
+                j += 1
+            if j - i >= MIN_SCAN_RUN:
+                runs.append(("scan", list(range(i, j))))
+                i = j
+                continue
+        runs.append(("step", [i]))
+        i += 1
+    return runs
+
+
+def _media_rows(steps, scan_idxs):
+    """Unique media (by object identity) across all scanned steps.
+    Returns (media_fns, pairs) with pairs[step_idx] = (n1_row, n2_row)."""
+    media, rows, pairs = [], {}, {}
+
+    def row(fn):
+        k = id(fn)
+        if k not in rows:
+            rows[k] = len(media)
+            media.append(fn)
+        return rows[k]
+
+    for i in scan_idxs:
+        pairs[i] = (row(steps[i].n1_fn), row(steps[i].n2_fn))
+    return media, pairs
+
+
+def _conic_scan(steps, idxs, chain, outline64, n_tab, pairs,
+                p, s, pols, w, no_pol, store_sections):
+    """Run one refract run (conic and/or flat-disc surfaces) as a lax.scan.
+
+    The body performs EXACTLY the unrolled per-step op sequence (frame
+    shift → hit → miss absorption → Snell/Fresnel/polarization → outline
+    kill), with per-surface parameters as scanned-over xs and media
+    indices gathered from the shared (M, N) index table. Flat steps
+    (plano lens sides) select the plane-hit/flat-normal result via a
+    scanned boolean; the conic branch runs on a dummy unit sphere there
+    so it stays NaN-free in both passes, and ``where`` zeroes its
+    cotangent.
+    """
+    dt = p.dtype
+    one = jnp.asarray(np.asarray(1.0, dtype=dt))
+    zero = jnp.asarray(np.asarray(0.0, dtype=dt))
+
+    def sp(name, default):
+        return jnp.stack([steps[i].sfns.params.get(name, default) for i in idxs])
+
+    out_rel = np.stack([[outline64[q] - chain[i][2][q // 2] for q in range(6)]
+                        for i in idxs])
+    xs = dict(
+        pos=jnp.stack([steps[i].sfns.params["pos"] for i in idxs]),
+        rho=sp("rho", one), k=sp("k", zero), r=sp("r", one),
+        z_min_rel=sp("z_min_rel", zero), z_max_rel=sp("z_max_rel", zero),
+        is_flat=jnp.asarray([steps[i].sfns.is_flat for i in idxs], dtype=bool),
+        pos_h=jnp.asarray(np.stack([chain[i][0] for i in idxs]), dtype=dt),
+        delta=jnp.asarray(np.stack([chain[i][1] for i in idxs]), dtype=dt),
+        origin=jnp.asarray(np.stack([chain[i][2] for i in idxs]), dtype=dt),
+        out_rel=jnp.asarray(out_rel, dtype=dt),
+        n1=jnp.asarray([pairs[i][0] for i in idxs], dtype=jnp.int32),
+        n2=jnp.asarray([pairs[i][1] for i in idxs], dtype=jnp.int32),
+    )
+
+    def body(carry, x):
+        p, s, pols, w = carry
+        hw = w > 0.0
+        p = p - x["delta"]
+        p = p - (x["pos"] - x["pos_h"])
+        p_prev, w_prev = p, w
+
+        t_c, valid_c = geom.hit_conic(p, s, x["rho"], x["k"],
+                                      x["z_min_rel"], x["z_max_rel"])
+        t_f = geom.hit_plane(p, s)
+        valid_f = jnp.isfinite(t_f) & (t_f >= -geom.C_EPS)
+        t = jnp.where(x["is_flat"], t_f, t_c)
+        valid = jnp.where(x["is_flat"], valid_f, valid_c)
+        t2, ok, _ = geom.clamp_abnormal(p, s, t, valid, x["z_max_rel"])
+        p_hit = p + t2[:, None] * s
+        hit = geom.mask_circle(p_hit[:, 0], p_hit[:, 1], x["r"]) & ok
+        p = jnp.where(hw[:, None], p_hit, p)
+        hit = hit & hw
+
+        info = jnp.zeros((N_INFOS,), dtype=jnp.int32)
+        miss = hw & ~hit
+        w = jnp.where(miss, 0.0, w)
+        info = info.at[ABSORB_MISSING].add(jnp.sum(miss.astype(jnp.int32)))
+
+        nvec_c = geom.normal_conic(p[:, 0], p[:, 1], x["rho"], x["k"])
+        nvec_f = geom.normal_flat(p[:, 0], p[:, 1])
+        nvec = jnp.where(x["is_flat"], nvec_f, nvec_c)
+        n1 = n_tab[x["n1"]]
+        n2 = n_tab[x["n2"]]
+        s, w, pols, n_tir = _refract_core(nvec, n1, n2, s, w, pols, hit, no_pol)
+        info = info.at[TIR].add(n_tir)
+
+        p, w, n_out = _outline_intersection(p_prev, p, s, w, x["out_rel"])
+        info = info.at[OUTLINE_INTERSECTION].add(n_out)
+
+        ys = (info, p + x["origin"], w, pols, n2) if store_sections else (info,)
+        return (p, s, pols, w), ys
+
+    # under shard_map, scan carries must keep a consistent varying-manual-axes
+    # set across iterations: promote replicated inits (broadcast constants
+    # like a point source's p or the uniform w) to the union vma of the
+    # whole traced state (see jax docs "scan-vma")
+    leaves = [p, s, pols, w, n_tab] + list(jax.tree_util.tree_leaves(xs))
+    vma = frozenset().union(*(jax.typeof(a).vma for a in leaves))
+
+    def _pv(a):
+        missing = vma - jax.typeof(a).vma
+        return jax.lax.pcast(a, tuple(missing), to="varying") if missing else a
+
+    return jax.lax.scan(body, (_pv(p), _pv(s), _pv(pols), _pv(w)), xs)
+
+
+# ----------------------------------------------------------------------
+# the trace
 
 def trace_bundle(steps: list, n0_fn: Callable, outline,
                  p, s, pols, w, wl, no_pol: bool,
@@ -241,11 +412,14 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
     :param n0_fn: ambient index wl -> n
     :param outline: 6-element outline box
     :param p, s, pols, w, wl: initial ray state from the sources
-    :param sinks: optional list of (update_fn, init_carry) streaming
-        consumers. After each step, ``carry = update_fn(j, p_prev, p_new,
-        w_prev, carry)`` is called with the segment index j (= step index)
-        and the ray weight *at the segment start*. This is how the fused
-        render observes detector crossings without section storage.
+    :param sinks: optional list of (update_fn, init_carry) or
+        (update_fn, init_carry, seg_mask) streaming consumers. After each
+        step, ``carry = update_fn(j, p_prev, p_new, w_prev, carry)`` is
+        called with the segment index j (= step index) and the ray weight
+        *at the segment start*. This is how the fused render observes
+        detector crossings without section storage. ``seg_mask`` is the
+        sink's static per-segment relevance list; steps whose segment no
+        sink consumes are eligible for the scanned fast path.
     :param store_sections: when False, per-section arrays are not
         accumulated — the returned dict carries only the final ray state,
         wl, INFOS and the sink carries, keeping HBM at O(N) regardless of
@@ -260,39 +434,57 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
     sections_pol = [pols]
     sections_n = [n0_fn(wl)]
     infos = [jnp.zeros((N_INFOS,), dtype=jnp.int32)]
-    carries = [init for _, init in sinks] if sinks else []
+    sink_list = _normalize_sinks(sinks)
+    carries = [init for _, init, _ in sink_list]
     n_amb_last = sections_n[-1]
     outline64 = np.asarray(outline, dtype=np.float64)
-    prev_pos = np.zeros(3, dtype=np.float64)   # current frame origin (static)
+    # local-frame re-centering chain: shift the ray state into the frame
+    # of each surface's vertex, tracking the APPLIED cumulative origin so
+    # f32 position rounding stays O(eps·(gap+aperture)) instead of
+    # O(eps·|z_absolute|) — see TraceStep.pos_host
+    chain = _frame_chain(steps, p.dtype)
+    runs = _partition_runs(steps, [m for _, _, m in sink_list])
+
+    # shared media table for the scanned runs: one (M, N) row per unique
+    # medium, gathered by index inside the scan bodies
+    scan_idxs = [i for kind, idxs in runs if kind == "scan" for i in idxs]
+    n_tab = None
+    if scan_idxs:
+        media, pairs = _media_rows(steps, scan_idxs)
+        n_tab = jnp.stack([m(wl) for m in media])
 
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    for idx, step in enumerate(steps):
+    for run_kind, run_idxs in runs:
+        if run_kind == "scan":
+            (p, s, pols, w), ys = _conic_scan(steps, run_idxs, chain, outline64,
+                                              n_tab, pairs, p, s, pols, w,
+                                              no_pol, store_sections)
+            L = len(run_idxs)
+            infos.extend(ys[0][i] for i in range(L))
+            if store_sections:
+                sections_p.extend(ys[1][i] for i in range(L))
+                sections_w.extend(ys[2][i] for i in range(L))
+                sections_pol.extend(ys[3][i] for i in range(L))
+                sections_n.extend(ys[4][i] for i in range(L))
+            n_amb_last = n_tab[pairs[run_idxs[-1]][1]]
+            continue
+
+        idx = run_idxs[0]
+        step = steps[idx]
         info = jnp.zeros((N_INFOS,), dtype=jnp.int32)
         hw = w > 0.0
 
-        # local-frame re-centering: shift the ray state into the frame of
-        # THIS surface's vertex. The shift is a static f64 delta, so f32
-        # position rounding stays O(eps·(gap+aperture)) instead of
-        # O(eps·|z_absolute|) — see TraceStep.pos_host.
-        pos_h = np.asarray(step.pos_host, dtype=np.float64) \
-            if step.pos_host is not None \
-            else np.asarray(step.sfns.params["pos"], dtype=np.float64)
-        # track the APPLIED cumulative origin: the shift lands on p after
-        # rounding to p's dtype, so accumulate exactly what was applied —
-        # prev_pos then IS the frame origin (one rounding from pos_h per
-        # step, not a random walk of per-step rounding errors)
-        delta_applied = np.asarray(pos_h - prev_pos, dtype=p.dtype)
+        pos_h, delta_applied, origin = chain[idx]
         if np.any(delta_applied):
             p = p - jnp.asarray(delta_applied, dtype=p.dtype)
-            prev_pos = prev_pos + np.asarray(delta_applied, dtype=np.float64)
         # traced residual (exactly 0 in the forward pass, params["pos"]
         # equals pos_host): keeps d(image)/d(surface position) flowing for
         # the differentiable-design path (tracer/diff.py) even though the
         # frame shift itself is a static constant
         p = p - (step.sfns.params["pos"] - jnp.asarray(pos_h, dtype=p.dtype))
-        out_rel = tuple(float(outline64[i] - prev_pos[i // 2]) for i in range(6))
+        out_rel = tuple(float(outline64[i] - origin[i // 2]) for i in range(6))
 
         p_prev = p
         w_prev = w
@@ -338,16 +530,16 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
         p, w, n_out = _outline_intersection(p_prev, p, s, w, out_rel)
         info = info.at[OUTLINE_INTERSECTION].add(n_out)
 
-        if sinks or store_sections:
+        if sink_list or store_sections:
             # sections and sinks see absolute coordinates (single rounding
             # at output, does not feed back into the trace state); rebase
             # from the APPLIED origin, the frame p actually lives in
-            off = jnp.asarray(prev_pos, dtype=p.dtype)
+            off = jnp.asarray(origin, dtype=p.dtype)
             p_abs = p + off
-            if sinks:
+            if sink_list:
                 p_prev_abs = p_prev + off
                 carries = [fn(idx, p_prev_abs, p_abs, w_prev, c)
-                           for (fn, _), c in zip(sinks, carries)]
+                           for (fn, _, _), c in zip(sink_list, carries)]
 
         n_amb_last = n_after
         infos.append(info)
