@@ -9,3 +9,5 @@ is no separate Qt worker thread to marshal to.
 
 from .trace_gui import TraceGUI  # noqa: F401
 from .scene_plotting import ScenePlotting  # noqa: F401
+from .command_window import CommandWindow  # noqa: F401
+from .property_browser import PropertyBrowser  # noqa: F401

@@ -34,8 +34,31 @@ class ScenePlotting:
         self.ax = None
         self._ray_artist = None
         self._pick_artist = None
+        self._crosshair_artists = []
+        self._crosshair_pos = None
         self._initial_camera = initial_camera or {}
         self._ray_selection = np.array([], dtype=bool)
+        # properties of the currently shown rays (property browser tab,
+        # reference _scene_plotting.py:83-84 and the ray legend keys)
+        self._ray_property_dict = {}
+        self._set_colors()
+
+    # ------------------------------------------------------------------
+    def _set_colors(self) -> None:
+        """Color scheme; switches with high_contrast like the reference
+        (_scene_plotting.py:659-680)."""
+        hc = bool(getattr(self.gui, "high_contrast", False))
+        self._background_color = (1.0, 1.0, 1.0) if hc else (0.2, 0.2, 0.2)
+        self._foreground_color = (0.0, 0.0, 0.0) if hc else (1.0, 1.0, 1.0)
+        self._lens_color = self._foreground_color if hc else (0.63, 0.79, 1.00)
+        self._detector_color = self._foreground_color if hc else (0.8, 0.8, 0.2)
+        self._aperture_color = self._foreground_color if hc else (0.13, 0.13, 0.13)
+        self._source_color = self._foreground_color if hc else (0.8, 0.2, 0.2)
+        self._subtle_color = (0.7, 0.7, 0.7) if hc else (0.3, 0.3, 0.3)
+        self._marker_color = self._foreground_color if hc else (0.0, 0.6, 0.0)
+        self._outline_color = self._subtle_color
+        self._crosshair_color = (1.0, 0.0, 0.0)
+        self._plain_ray_color = (0.0, 0.0, 0.0) if hc else (0.8, 0.8, 0.8)
 
     # ------------------------------------------------------------------
     def init_scene(self) -> None:
@@ -79,37 +102,103 @@ class ScenePlotting:
             xe, ye, ze = surf.edge(50)
             self.ax.plot(xe, ye, ze, color=color)
 
+    def _plot_cylinder(self, el, color, alpha=0.35) -> None:
+        """Element side wall between front and back edges (reference
+        Element.cylinder_surface mesh, _scene_plotting.py plot_element)."""
+        try:
+            X, Y, Z = el.cylinder_surface(self.SURFACE_RES * 2)
+            self.ax.plot_surface(X, Y, np.ma.masked_invalid(Z), color=color,
+                                 alpha=alpha, linewidth=0, antialiased=False)
+        except Exception:
+            pass
+
     def plot_elements(self) -> None:
         minimalistic = bool(self.gui.minimalistic_view)
         for el in self.raytracer.elements:
+            cylinder = False
             if isinstance(el, (Lens, IdealLens)):
-                c = "#2277cc"
+                c = self._lens_color
+                cylinder = not isinstance(el, IdealLens)
             elif isinstance(el, Aperture):
-                c = "#222222"
+                c = self._aperture_color
             elif isinstance(el, Filter):
                 fc = el.color()
-                c = fc[:3]
+                c = self._foreground_color if self.gui.high_contrast else fc[:3]
+                cylinder = el.has_back()
             elif isinstance(el, Detector):
-                c = "#cccc33"
+                c = self._detector_color
             elif isinstance(el, RaySource):
-                c = "#cc3333"
+                c = self._source_color
             elif isinstance(el, (PointMarker, LineMarker)):
                 self._plot_marker(el)
                 continue
             else:   # volumes
-                c = el.color[:3] if getattr(el, "color", None) else "#888888"
+                c = el.color[:3] if getattr(el, "color", None) is not None \
+                    and not self.gui.high_contrast else self._subtle_color
                 self._plot_surface_mesh(el.front, c, alpha=getattr(el, "opacity", 0.2))
                 if el.has_back():
                     self._plot_surface_mesh(el.back, c, alpha=getattr(el, "opacity", 0.2))
+                    self._plot_cylinder(el, c, alpha=getattr(el, "opacity", 0.2))
                 continue
 
             self._plot_surface_mesh(el.front, c)
             if el.has_back():
                 self._plot_surface_mesh(el.back, c)
+                if cylinder:
+                    self._plot_cylinder(el, c)
             if not self.gui.hide_labels and not minimalistic:
                 pos = el.pos
                 self.ax.text(pos[0], pos[1], pos[2], el.get_desc(), fontsize=7,
+                             color=self._foreground_color if self.gui.high_contrast else None,
                              rotation=90 if self.gui.vertical_labels else 0)
+
+    def plot_index_boxes(self) -> None:
+        """Wireframe outlines + labels for ambient refraction-index regions
+        between lenses (reference _scene_plotting.py:359-420)."""
+        from ..spectrum.refraction_index import RefractionIndex
+
+        RT = self.raytracer
+        lenses = sorted(RT.lenses, key=lambda el: el.pos[2])
+        n_list = [RT.n0] + [el.n2 for el in lenses] + [RT.n0]
+        bounds = [(RT.outline[4], RT.outline[4])] + \
+                 [(np.mean(el.front.extent[4:]), np.mean(el.back.extent[4:]))
+                  for el in lenses] + \
+                 [(RT.outline[5], RT.outline[5])]
+        n_list = [RT.n0 if ni is None else ni for ni in n_list]
+
+        # drop zero-extent boxes, join neighbors with the same medium
+        i = 0
+        while i < len(n_list) - 2:
+            if bounds[i + 1][0] - bounds[i][1] < 5e-4:
+                del n_list[i], bounds[i]
+            else:
+                i += 1
+        i = 0
+        while i < len(n_list) - 2:
+            if n_list[i] == n_list[i + 1]:
+                del n_list[i + 1], bounds[i + 1]
+            else:
+                i += 1
+
+        if len(bounds) == 2 and n_list[0] == RefractionIndex("Constant", n=1.0):
+            return    # vacuum everywhere: nothing to annotate
+
+        xs, xe, ys, ye = RT.outline[:4]
+        for i in range(len(bounds) - 1):
+            z0, z1 = bounds[i][1], bounds[i + 1][0]
+            for (a, b) in [((xs, ys, z0), (xe, ys, z0)), ((xs, ye, z0), (xe, ye, z0)),
+                           ((xs, ys, z1), (xe, ys, z1)), ((xs, ye, z1), (xe, ye, z1)),
+                           ((xs, ys, z0), (xs, ys, z1)), ((xe, ys, z0), (xe, ys, z1)),
+                           ((xs, ye, z0), (xs, ye, z1)), ((xe, ye, z0), (xe, ye, z1))]:
+                self.ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]],
+                             color=self._outline_color, lw=0.8, alpha=0.7,
+                             linestyle="--")
+            if not self.gui.hide_labels:
+                label = ("" if self.gui.minimalistic_view else "ambient\n") \
+                    + "n=" + n_list[i].get_desc()
+                self.ax.text(np.mean([xs, xe]), ys + (ye - ys) * 0.05,
+                             np.mean([z0, z1]), label, fontsize=6,
+                             color=self._foreground_color if self.gui.high_contrast else None)
 
     def _plot_marker(self, m) -> None:
         if isinstance(m, PointMarker):
@@ -140,7 +229,7 @@ class ScenePlotting:
         rays = self.raytracer.rays
         N_sel = int(np.count_nonzero(sel))
         if mode == "Plain":
-            return np.tile([[0.8, 0.8, 0.8]], (N_sel, 1))
+            return np.tile([list(self._plain_ray_color)], (N_sel, 1))
         if mode == "Wavelength":
             wl = rays.wl_list[sel]
             rgba = np.asarray(ocolor.spectral_colormap(wl))
@@ -189,6 +278,16 @@ class ScenePlotting:
         segments = p[:, :, [0, 1, 2]]
         colors = self._ray_colors(sel, self.gui.coloring_mode)
 
+        # property-browser tab of the shown rays (reference legend keys,
+        # property_browser.py:22-28)
+        pr, s, pol, w, wl, snum, n = rays.rays_by_mask(sel)
+        s_un = rays.p_list[sel][:, 1:] - rays.p_list[sel][:, :-1]
+        s_un = np.concatenate((s_un, np.zeros((s_un.shape[0], 1, 3))), axis=1)
+        self._ray_property_dict = dict(
+            p=pr, s=s, s_un=s_un, pol=pol, w=w, wv=wl, snum=snum, n=n,
+            index=np.where(sel)[0],
+            l=rays.ray_lengths(sel), ol=rays.optical_lengths(sel))
+
         if self._ray_artist is not None:
             try:
                 self._ray_artist.remove()
@@ -231,7 +330,45 @@ class ScenePlotting:
             self._pick_artist = self.ax.scatter([p[section, 0]], [p[section, 1]],
                                                 [p[section, 2]], color="red", s=60)
 
+    def plot_crosshair(self, pos) -> None:
+        """Red axis-aligned crosshair through a 3D point (reference
+        space-picking crosshair, _scene_plotting.py:1248-1364)."""
+        self.clear_crosshair()
+        o = self.raytracer.outline
+        x, y, z = float(pos[0]), float(pos[1]), float(pos[2])
+        arts = [self.ax.plot([o[0], o[1]], [y, y], [z, z],
+                             color=self._crosshair_color, lw=1.0)[0],
+                self.ax.plot([x, x], [o[2], o[3]], [z, z],
+                             color=self._crosshair_color, lw=1.0)[0],
+                self.ax.plot([x, x], [y, y], [o[4], o[5]],
+                             color=self._crosshair_color, lw=1.0)[0]]
+        self._crosshair_artists = arts
+        self._crosshair_pos = (x, y, z)
+
+    def clear_crosshair(self) -> None:
+        for a in self._crosshair_artists:
+            try:
+                a.remove()
+            except Exception:
+                pass
+        self._crosshair_artists = []
+        self._crosshair_pos = None
+
+    def pick_nearest_section(self, pos):
+        """Nearest displayed ray section to a 3D point: the programmatic
+        form of the reference's click picking. Returns (ray_index,
+        section_index) or None when no rays are shown."""
+        rays = self.raytracer.rays
+        if not rays.N or not np.any(self._ray_selection):
+            return None
+        idx = np.where(self._ray_selection)[0]
+        p = rays.p_list[idx]                        # (n, nt, 3)
+        d2 = np.sum((p - np.asarray(pos, dtype=np.float64)) ** 2, axis=-1)
+        flat = int(np.argmin(d2))
+        return int(idx[flat // p.shape[1]]), int(flat % p.shape[1])
+
     def clear_picking(self) -> None:
+        self.clear_crosshair()
         if self._pick_artist is not None:
             try:
                 self._pick_artist.remove()
@@ -245,13 +382,16 @@ class ScenePlotting:
         self.ax.clear()
         self._ray_artist = None
         self._pick_artist = None
+        self._crosshair_artists = []
+        self._set_colors()
         self.ax.set_xlabel("x in mm")
         self.ax.set_ylabel("y in mm")
         self.ax.set_zlabel("z in mm")
-        if self.gui.high_contrast:
-            self.ax.set_facecolor("black")
+        self.ax.set_facecolor("white" if self.gui.high_contrast else "#333333")
         self.plot_outline()
         self.plot_elements()
+        if not self.gui.minimalistic_view:
+            self.plot_index_boxes()
         self.plot_fault_markers()
         self.plot_rays()
         o = self.raytracer.outline

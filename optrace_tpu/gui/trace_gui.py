@@ -13,6 +13,7 @@ matplotlib 3D scene (headless-safe under Agg), which is also what makes the
 GUI fully scriptable in tests and batch jobs.
 """
 
+from contextlib import contextmanager
 from typing import Any, Callable
 
 import numpy as np
@@ -25,6 +26,8 @@ from ..utils.property_checker import PropertyChecker as pc
 from ..utils.warnings import warning
 from .. import plots
 from .scene_plotting import ScenePlotting
+from .command_window import CommandWindow
+from .property_browser import PropertyBrowser
 
 
 class TraceGUI:
@@ -76,6 +79,8 @@ class TraceGUI:
         self._initialized = False
 
         self.scene = ScenePlotting(self, raytracer, initial_camera=initial_camera)
+        self._command_window = None
+        self._property_browser = None
 
         for k, v in kwargs.items():
             setattr(self, k, v)
@@ -150,11 +155,15 @@ class TraceGUI:
     # automation API
 
     def control(self, func: Callable, args: tuple = (), kwargs: dict = None) -> None:
-        """Run a function with this GUI as first argument (synchronous;
-        reference marshals to the GUI thread, trace_gui.py:864-895)."""
+        """Run an automation function after the scene is built (synchronous;
+        the reference marshals it to the GUI thread, trace_gui.py:864-895).
+        ``args``/``kwargs`` are passed verbatim — pass the GUI yourself if
+        the function needs it, as the reference examples do."""
+        pc.check_callable("func", func)
+        pc.check_type("args", args, tuple)
         if not self._initialized:
             self.init_scene()
-        func(self, *args, **(kwargs or {}))
+        func(*args, **(kwargs or {}))
 
     def debug(self, func: Callable, args: tuple = (), kwargs: dict = None) -> None:
         """Alias of control() in the synchronous GUI."""
@@ -233,6 +242,28 @@ class TraceGUI:
         self.scene.highlight_ray(index, section)
         return self.scene.ray_info_text(index, section)
 
+    def pick_space(self, pos) -> str:
+        """Place the crosshair at a 3D position and return its info text
+        (reference space picking, _scene_plotting.py:1248-1364)."""
+        pos = np.asarray(pos, dtype=np.float64)
+        pc.check_type("pos", pos, np.ndarray)
+        if self.scene.ax is None:
+            self.scene.init_scene()
+        self.scene.plot_crosshair(pos)
+        return (f"Position: ({pos[0]:.5g} mm, {pos[1]:.5g} mm, "
+                f"{pos[2]:.5g} mm)")
+
+    def pick_nearest_ray_section(self, pos) -> str:
+        """Pick the displayed ray section nearest to a 3D position — the
+        programmatic form of the reference's click picking. Highlights the
+        section and returns its info text."""
+        self._check_rays()
+        hit = self.scene.pick_nearest_section(pos)
+        if hit is None:
+            raise RuntimeError("No rays displayed to pick from.")
+        index, section = hit
+        return self.pick_ray_section(index, section)
+
     def reset_picking(self) -> None:
         self.scene.clear_picking()
 
@@ -273,28 +304,73 @@ class TraceGUI:
         """boolean mask of the currently displayed rays"""
         return self.scene._ray_selection
 
-    def smart_replot(self, automatic_replot: bool = True) -> None:
-        """Detect changed scene properties and replot/retrace as needed
-        (reference trace_gui.py:572-589)."""
-        if not automatic_replot:
-            return
-        now = self.raytracer.property_snapshot()
-        if self._last_snapshot is None:
-            self.replot()
-            return
-        diff = self.raytracer.compare_property_snapshot(self._last_snapshot, now)
-        if any(diff[k] for k in ("Lenses", "Filters", "Apertures", "RaySources", "Ambient")):
-            self.retrace()
-        elif diff["Any"]:
-            self.replot()
+    @contextmanager
+    def smart_replot(self, automatic_replot: bool = True):
+        """Context manager: snapshot the raytracer properties before the
+        block, compare after, and retrace/replot exactly what changed
+        (reference trace_gui.py:571-589). Scene mutations belong INSIDE
+        the ``with`` block::
 
-    def run_command(self, cmd: str) -> None:
+            with GUI.smart_replot():
+                RT.ray_sources[0].move_to([0, 1, -15])
+        """
+        snap = self.raytracer.property_snapshot() if automatic_replot else None
+        try:
+            yield
+        finally:
+            if automatic_replot:
+                now = self.raytracer.property_snapshot()
+                diff = self.raytracer.compare_property_snapshot(snap, now)
+                if any(diff[k] for k in ("Lenses", "Filters", "Apertures",
+                                         "RaySources", "Ambient")):
+                    self.retrace()
+                elif diff["Any"]:
+                    self.replot()
+
+    def process(self) -> None:
+        """Flush pending display events so property changes become visible
+        (reference trace_gui.py:591-604 processes the Qt event queue; the
+        synchronous GUI only needs a canvas redraw)."""
+        if self.scene.fig is not None:
+            try:
+                self.scene.fig.canvas.draw_idle()
+                self.scene.fig.canvas.flush_events()
+            except Exception:   # pragma: no cover - backend without events
+                pass
+
+    def run_command(self, cmd: str, automatic_replot: bool = True) -> None:
         """Execute a command string with the GUI/raytracer in scope, then
         smart-replot (reference command window, trace_gui.py:1748+)."""
         import optrace_tpu as ot
         env = dict(GUI=self, RT=self.raytracer, ot=ot, np=np)
-        exec(cmd, env)
-        self.smart_replot()
+        with self.smart_replot(automatic_replot):
+            exec(cmd, env)
+
+    @property
+    def command_window(self) -> CommandWindow:
+        """The command window (REPL with history), created on first access
+        (reference opens it as a Qt dialog, command_window.py:12)."""
+        if self._command_window is None:
+            self._command_window = CommandWindow(self)
+        return self._command_window
+
+    @property
+    def property_browser(self) -> PropertyBrowser:
+        """The property browser (state dictionaries incl. TMA cardinal
+        points), created on first access (reference property_browser.py:14)."""
+        if self._property_browser is None:
+            self._property_browser = PropertyBrowser(self)
+        return self._property_browser
+
+    def open_command_window(self) -> CommandWindow:
+        """Reference menu action analog; returns the window object."""
+        return self.command_window
+
+    def open_property_browser(self) -> PropertyBrowser:
+        """Reference menu action analog; updates and returns the browser."""
+        pb = self.property_browser
+        pb.update_dict()
+        return pb
 
     # ---- image / spectrum / focus actions ----------------------------
 
@@ -376,24 +452,24 @@ class TraceGUI:
         old, fn = self._custom_checkboxes[name]
         self._custom_checkboxes[name] = (val, fn)
         if fn:
-            fn(val)
-            self.smart_replot()
+            with self.smart_replot():
+                fn(val)
 
     def press_custom_button(self, name: str) -> None:
-        self._custom_buttons[name]()
-        self.smart_replot()
+        with self.smart_replot():
+            self._custom_buttons[name]()
 
     def set_custom_value(self, name: str, val: float) -> None:
         old, fn = self._custom_values[name]
         self._custom_values[name] = (val, fn)
         if fn:
-            fn(val)
-            self.smart_replot()
+            with self.smart_replot():
+                fn(val)
 
     def set_custom_selection(self, name: str, val: str) -> None:
         old, lst, fn = self._custom_selections[name]
         pc.check_if_element("val", val, lst)
         self._custom_selections[name] = (val, lst, fn)
         if fn:
-            fn(val)
-            self.smart_replot()
+            with self.smart_replot():
+                fn(val)

@@ -240,6 +240,10 @@ def _hurb(step: TraceStep, key, p_new, s, w, wl, n_amb, pols, bend_candidates, n
 # stay unrolled; real systems are dominated by conic runs.
 
 MIN_SCAN_RUN = 4
+# body copies per scan iteration: recovers XLA fusion across consecutive
+# surfaces (the unrolled path's runtime advantage) at O(SCAN_UNROLL)
+# program size instead of O(n_surfaces)
+SCAN_UNROLL = 4
 
 
 def _normalize_sinks(sinks):
@@ -347,7 +351,14 @@ def _conic_scan(steps, idxs, chain, outline64, n_tab, pairs,
     )
 
     def body(carry, x):
-        p, s, pols, w = carry
+        # pol is untouched physics-wise under no_pol: keep it out of the
+        # carry AND the ys so the scan never streams NaN tensors through
+        # HBM (12 MB/step read+write at 1e6 rays)
+        if no_pol:
+            p, s, w = carry
+            pl = None
+        else:
+            p, s, pl, w = carry
         hw = w > 0.0
         p = p - x["delta"]
         p = p - (x["pos"] - x["pos_h"])
@@ -375,14 +386,17 @@ def _conic_scan(steps, idxs, chain, outline64, n_tab, pairs,
         nvec = jnp.where(x["is_flat"], nvec_f, nvec_c)
         n1 = n_tab[x["n1"]]
         n2 = n_tab[x["n2"]]
-        s, w, pols, n_tir = _refract_core(nvec, n1, n2, s, w, pols, hit, no_pol)
+        s, w, pl_o, n_tir = _refract_core(nvec, n1, n2, s, w, pl, hit, no_pol)
         info = info.at[TIR].add(n_tir)
 
         p, w, n_out = _outline_intersection(p_prev, p, s, w, x["out_rel"])
         info = info.at[OUTLINE_INTERSECTION].add(n_out)
 
-        ys = (info, p + x["origin"], w, pols, n2) if store_sections else (info,)
-        return (p, s, pols, w), ys
+        if no_pol:
+            ys = (info, p + x["origin"], w, n2) if store_sections else (info,)
+            return (p, s, w), ys
+        ys = (info, p + x["origin"], w, pl_o, n2) if store_sections else (info,)
+        return (p, s, pl_o, w), ys
 
     # under shard_map, scan carries must keep a consistent varying-manual-axes
     # set across iterations: promote replicated inits (broadcast constants
@@ -395,7 +409,12 @@ def _conic_scan(steps, idxs, chain, outline64, n_tab, pairs,
         missing = vma - jax.typeof(a).vma
         return jax.lax.pcast(a, tuple(missing), to="varying") if missing else a
 
-    return jax.lax.scan(body, (_pv(p), _pv(s), _pv(pols), _pv(w)), xs)
+    if no_pol:
+        (p, s, w), ys = jax.lax.scan(body, (_pv(p), _pv(s), _pv(w)), xs,
+                                     unroll=SCAN_UNROLL)
+        return (p, s, pols, w), ys
+    return jax.lax.scan(body, (_pv(p), _pv(s), _pv(pols), _pv(w)), xs,
+                        unroll=SCAN_UNROLL)
 
 
 # ----------------------------------------------------------------------
@@ -466,8 +485,12 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
             if store_sections:
                 sections_p.extend(ys[1][i] for i in range(L))
                 sections_w.extend(ys[2][i] for i in range(L))
-                sections_pol.extend(ys[3][i] for i in range(L))
-                sections_n.extend(ys[4][i] for i in range(L))
+                if no_pol:     # pol untouched: reuse the source array
+                    sections_pol.extend([pols] * L)
+                    sections_n.extend(ys[3][i] for i in range(L))
+                else:
+                    sections_pol.extend(ys[3][i] for i in range(L))
+                    sections_n.extend(ys[4][i] for i in range(L))
             n_amb_last = n_tab[pairs[run_idxs[-1]][1]]
             continue
 
@@ -558,7 +581,10 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
         out |= {
             "p": jnp.stack(sections_p, axis=1),
             "w": jnp.stack(sections_w, axis=1),
-            "pol": jnp.stack(sections_pol, axis=1),
+            # under no_pol the polarization is never touched: skip the
+            # (N, nt, 3) NaN stack + device→host copy entirely (RayStorage
+            # broadcasts host-side, ray_storage.py:73-74)
+            "pol": None if no_pol else jnp.stack(sections_pol, axis=1),
             "n": jnp.stack(sections_n, axis=1),
         }
     return out

@@ -77,3 +77,17 @@ def test_microscope_example(example_env):
         pytest.skip("fixtures absent")
     run_example("microscope.py")
     assert os.path.isfile("microscope_psf.png")
+
+
+def test_gui_automation_example(example_env):
+    """GUI scripting example: custom button + smart_replot-driven sweep
+    (reference examples/gui_automation.py:1)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    mod = runpy.run_path(str(EXAMPLES / "gui_automation.py"), run_name="__main__")
+    sim = mod["sim"]
+    assert sim.raytracer.rays.N > 0
+    # the custom button reruns the automation
+    sim.press_custom_button("Rerun")
+    assert sim.raytracer.check_if_rays_are_current()
+    sim.close()

@@ -90,7 +90,7 @@ class TestTraceGUI:
 
     def test_control(self, gui):
         result = []
-        gui.control(lambda g, a: result.append((g, a)), args=(42,))
+        gui.control(lambda g, a: result.append((g, a)), args=(gui, 42))
         assert result[0][0] is gui and result[0][1] == 42
 
     def test_detector_actions(self, gui):
@@ -141,3 +141,146 @@ class TestTraceGUI:
     def test_property_observer_replots_rays(self, gui):
         gui.rays_visible = 500
         assert gui.ray_selection.sum() <= 500
+
+
+class TestCommandWindow:
+
+    def test_send_command_and_history(self, gui):
+        cw = gui.command_window
+        assert cw is gui.command_window        # singleton per GUI
+        with ot.global_options.no_warnings():
+            cw.send_command("RT.detectors[0].move_to([0, 0, 41])")
+            cw.send_command("RT.detectors[0].move_to([0, 0, 41])")  # duplicate
+            cw.send_command("RT.detectors[0].move_to([0, 0, 40])")
+        assert cw.history == ["RT.detectors[0].move_to([0, 0, 41])",
+                              "RT.detectors[0].move_to([0, 0, 40])"]
+        assert gui.raytracer.detectors[0].pos[2] == 40
+
+    def test_copy_and_clear_history(self, gui):
+        cw = gui.command_window
+        with ot.global_options.no_warnings():
+            cw.send_command("x = 1")
+        text = cw.copy_history()
+        assert "x = 1" in text and text.endswith("\n")
+        cw.clear_history()
+        assert cw.history == []
+
+    def test_automatic_replot_off(self, gui):
+        cw = gui.command_window
+        cw.automatic_replot = False
+        with ot.global_options.no_warnings():
+            cw.send_command("RT.ray_sources[0].power = 2.0")
+            # no retrace happened: snapshot is stale now
+            assert not gui.raytracer.check_if_rays_are_current()
+            cw.automatic_replot = True
+            cw.send_command("RT.ray_sources[0].power = 1.0")
+            assert gui.raytracer.check_if_rays_are_current()
+
+
+class TestPropertyBrowser:
+
+    def test_update_dict_tabs(self, gui):
+        pb = gui.open_property_browser()
+        assert pb is gui.property_browser
+        for tab in (pb.raytracer_dict, pb.ray_dict, pb.scene_dict,
+                    pb.trace_gui_dict, pb.card_dict, pb.preset_dict):
+            assert isinstance(tab, dict) and tab
+
+    def test_ray_dict_keys(self, gui):
+        pb = gui.open_property_browser()
+        for key in ("p", "s", "s_un", "pol", "w", "wv", "snum", "index", "l", "ol"):
+            assert key in pb.ray_dict, key
+        n_shown = int(gui.ray_selection.sum())
+        assert pb.ray_dict["p"].shape[0] == n_shown
+        assert pb.ray_dict["l"].shape[0] == n_shown
+
+    def test_cardinal_points_tab(self, gui):
+        """TMA values for the system and each lens at the F, d, C lines
+        (reference property_browser.py:167-197)."""
+        pb = gui.open_property_browser()
+        cd = pb.card_dict
+        assert "System" in cd and "Lens 0" in cd
+        for name in ("System", "Lens 0"):
+            assert len(cd[name]) == 3            # three Fraunhofer lines
+            for wl_key, t in cd[name].items():
+                assert "nm" in wl_key
+                for prop in ("abcd", "efl", "bfl", "ffl", "focal_points",
+                             "principal_points", "nodal_points", "powers"):
+                    assert prop in t, prop
+        # lens efl is positive for this biconvex lens and wavelength-dependent
+        efls = [t["efl"] for t in cd["Lens 0"].values()]
+        assert all(e > 0 for e in efls)
+        assert len(set(efls)) == 3
+
+    def test_gen_dict_repr_limits(self, gui):
+        pb = gui.property_browser
+        nested = {"a": [1, (2.0, None)], "b": np.array([3.0]),
+                  "c": np.arange(10), "obj": object()}
+        r = pb._gen_dict_repr(nested)
+        assert r["a"] == [1, (2.0, None)]
+        assert r["b"] == 3.0                     # single-element unpacked
+        assert r["c"].dtype == np.float64
+        assert isinstance(r["obj"], str)
+        # recursion bound
+        deep = cur = {}
+        for _ in range(30):
+            cur["x"] = {}
+            cur = cur["x"]
+        rr = pb._gen_dict_repr(deep)
+        s = str(rr)
+        assert "Recursion larger" in s
+
+
+class TestSceneDepth:
+
+    def test_index_boxes_plotted(self):
+        """Scenes with non-vacuum lens gaps get index-region boxes."""
+        RT = ot.Raytracer(outline=[-10, 10, -10, 10, -10, 40],
+                          n0=ot.RefractionIndex("Constant", n=1.33))
+        RT.add(ot.RaySource(ot.CircularSurface(r=1), pos=[0, 0, -5],
+                            spectrum=ot.presets.light_spectrum.d65))
+        RT.add(ot.Lens(ot.SphericalSurface(r=3, R=20), ot.SphericalSurface(r=3, R=-20),
+                       n=ot.presets.refraction_index.BK7,
+                       n2=ot.RefractionIndex("Constant", n=1.1), pos=[0, 0, 5], d=1))
+        RT.add(ot.Detector(ot.RectangularSurface(dim=[4, 4]), pos=[0, 0, 30]))
+        g = TraceGUI(RT, ray_count=2000)
+        with ot.global_options.no_warnings():
+            g.init_scene()
+        n_lines_before = len(g.scene.ax.lines)
+        g.scene.plot_index_boxes()
+        assert len(g.scene.ax.lines) > n_lines_before
+        g.close()
+
+    def test_high_contrast_switch(self, gui):
+        gui.high_contrast = True
+        gui.replot()
+        assert gui.scene._foreground_color == (0.0, 0.0, 0.0)
+        assert gui.scene._plain_ray_color == (0.0, 0.0, 0.0)
+        gui.high_contrast = False
+        gui.replot()
+        assert gui.scene._foreground_color == (1.0, 1.0, 1.0)
+
+    def test_crosshair_and_space_pick(self, gui):
+        txt = gui.pick_space([1.0, 2.0, 3.0])
+        assert "1 mm" in txt and "2 mm" in txt and "3 mm" in txt
+        assert len(gui.scene._crosshair_artists) == 3
+        gui.reset_picking()
+        assert gui.scene._crosshair_artists == []
+
+    def test_pick_nearest_ray_section(self, gui):
+        rays = gui.raytracer.rays
+        idx = np.where(gui.ray_selection)[0][0]
+        pos = rays.p_list[idx, 1]
+        txt = gui.pick_nearest_ray_section(pos)
+        assert f"Ray {idx}" in txt or "Ray" in txt
+        assert "Section" in txt
+
+    def test_smart_replot_contextmanager(self, gui):
+        """Geometry mutations inside the with-block trigger a retrace."""
+        with ot.global_options.no_warnings():
+            with gui.smart_replot():
+                gui.raytracer.ray_sources[0].move_to([0, 0.5, -10])
+            assert gui.raytracer.check_if_rays_are_current()
+            with gui.smart_replot():
+                gui.raytracer.ray_sources[0].move_to([0, 0, -10])
+            assert gui.raytracer.check_if_rays_are_current()
