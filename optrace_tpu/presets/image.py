@@ -152,12 +152,11 @@ def ETDRS_chart(s=None, extent=None) -> GrayscaleImage:
     return GrayscaleImage(np.flipud(img), s, extent, desc="ETDRS Chart")
 
 
-def ETDRS_chart_inverted(s=None, extent=None) -> RGBImage:
-    """Inverted (white-on-black) ETDRS-style chart."""
+def ETDRS_chart_inverted(s=None, extent=None) -> GrayscaleImage:
+    """Inverted (white-on-black) ETDRS-style chart. Grayscale like the
+    reference (presets/image.py:119-129 converts to_grayscale_image)."""
     g = ETDRS_chart(s if s is not None else [1, 1], extent)
-    inv = 1.0 - g.data
-    return RGBImage(np.repeat(inv[:, :, None], 3, axis=2),
-                    s, extent, desc="ETDRS Chart Inverted")
+    return GrayscaleImage(1.0 - g.data, s, extent, desc="ETDRS Chart Inverted")
 
 
 def grid(s=None, extent=None) -> GrayscaleImage:

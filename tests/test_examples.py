@@ -57,6 +57,12 @@ def run_example(name):
     ("refraction_index_presets.py", ["abbe_diagram.png"]),
     ("sphere_projections.py", ["sphere_projection_Equidistant.png"]),
     ("hurb_apertures.py", ["hurb_slit.png", "hurb_pinhole.png"]),
+    ("keratoconus.py", ["keratoconus_object.png", "keratoconus_case0.png",
+                        "keratoconus_case7.png"]),
+    ("IOL_pinhole_imaging.py", ["IOL_pinhole_0.01D.png", "IOL_pinhole_0.75D.png",
+                                "IOL_pinhole_1.50D.png"]),
+    ("IOL_target_imaging.py", ["IOL_target_0.01D.png", "IOL_target_0.75D.png",
+                               "IOL_target_1.50D.png"]),
 ])
 def test_example(example_env, script, outputs):
     run_example(script)
