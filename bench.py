@@ -120,69 +120,121 @@ def _time_trace(RT, N=1_000_000, reps=5):
     return (time.perf_counter() - t0) / reps, N
 
 
-def scaling_main(n_dev: int):
-    """One leg of the weak-scaling probe: trace+render N_PER_DEV rays per
-    device on an n_dev CPU mesh and print the mean step time. The caller
-    pins this process to n_dev cores, so per-device compute resources are
-    constant across legs — the honest weak-scaling setup on a 2-core host."""
-    import numpy as np
-    from jax.sharding import Mesh
+def _time_fused(RT, N=1_000_000, reps=5):
+    """Mean fused streaming render step time (source → trace → detector
+    sink → XYZW bin, no section storage) — the production path for big
+    renders (parallel/render.py). Returns (t_mean, N)."""
     import optrace_tpu as ot
-    from optrace_tpu.parallel.render import make_sharded_render
+    from optrace_tpu.parallel.render import make_fused_render
 
-    RT = ot.Raytracer(outline=[-10, 10, -10, 10, -5, 60], no_pol=True)
-    RT.add(ot.RaySource(ot.CircularSurface(r=1), pos=[0, 0, 0],
-                        divergence="Lambertian", div_angle=8,
-                        spectrum=ot.presets.light_spectrum.d65))
-    RT.add(ot.Lens(ot.SphericalSurface(r=5, R=30), ot.SphericalSurface(r=5, R=-40),
-                   n=ot.presets.refraction_index.BK7, pos=[0, 0, 10], de=0.5))
-    RT.add(ot.Lens(ot.SphericalSurface(r=5, R=25), ot.SphericalSurface(r=5, R=-25),
-                   n=ot.presets.refraction_index.F2, pos=[0, 0, 20], de=0.5))
-    RT.add(ot.Detector(ot.RectangularSurface(dim=[8, 8]), pos=[0, 0, 50]))
-
-    N_PER_DEV = 2_000_000
-    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("rays",))
-    step, _ = make_sharded_render(RT, N_PER_DEV * n_dev, mesh=mesh,
-                                  extent=[-4, 4, -4, 4], Nx=189, Ny=189)
-    out = step(jax.random.PRNGKey(0))
+    # flat retina-plane detector for well-defined cartesian binning
+    RT.add(ot.Detector(ot.RectangularSurface(dim=[4, 4]),
+                       pos=RT.detectors[0].pos if RT.detectors else [0, 0, 590]))
+    di = len(RT.detectors) - 1
+    if RT._pretrace_check(1000):
+        raise RuntimeError("geometry checks failed")
+    render, _ = make_fused_render(RT, N, detector_index=di,
+                                  extent=(-2.0, 2.0, -2.0, 2.0),
+                                  Nx=315, Ny=315)
+    step = jax.jit(render)
+    out = step(jax.random.PRNGKey(0))         # warmup/compile
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for i in range(3):
+    for i in range(reps):
         out = step(jax.random.PRNGKey(i + 1))
         jax.block_until_ready(out)
-    t = (time.perf_counter() - t0) / 3
+    return (time.perf_counter() - t0) / reps, N
+
+
+def scaling_main(n_dev: int, timed: bool = True):
+    """One leg of the weak-scaling probe ON THE BENCHMARK SCENE: fused
+    sharded render of N_PER_DEV rays per device through the 57-surface
+    microscope on an n_dev CPU mesh; prints the mean step time. The caller
+    pins timed legs to n_dev cores, so per-device compute resources are
+    constant across legs — the honest weak-scaling setup on a 2-core host.
+    Untimed legs (4/8 virtual devices) only validate that the sharded
+    program compiles, runs and conserves power."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from optrace_tpu.parallel.render import make_sharded_render
+    import optrace_tpu as ot
+
+    have_fixtures = os.path.isdir(RES)
+    with ot.global_options.no_warnings(), ot.global_options.no_progress_bar():
+        RT = build_microscope() if have_fixtures else build_synthetic()
+        # flat retina-plane detector for well-defined cartesian binning
+        RT.add(ot.Detector(ot.RectangularSurface(dim=[4, 4]),
+                           pos=RT.detectors[0].pos if RT.detectors else [0, 0, 590]))
+        di = len(RT.detectors) - 1
+        if RT._pretrace_check(1000):
+            raise RuntimeError("geometry checks failed")
+
+        N_PER_DEV = 50_000 if timed else 40_000
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("rays",))
+        step, _ = make_sharded_render(RT, N_PER_DEV * n_dev, mesh=mesh,
+                                      detector_index=di,
+                                      extent=(-2.0, 2.0, -2.0, 2.0),
+                                      Nx=189, Ny=189)
+        out = step(jax.random.PRNGKey(0))
+        jax.block_until_ready(out)
+        if not timed:
+            img = np.asarray(out)
+            ok = bool(np.isfinite(img).all() and img[:, :, 3].sum() > 0)
+            print(json.dumps({"n_dev": n_dev, "shape_ok": ok}))
+            return
+        t0 = time.perf_counter()
+        for i in range(3):
+            out = step(jax.random.PRNGKey(i + 1))
+            jax.block_until_ready(out)
+        t = (time.perf_counter() - t0) / 3
     print(json.dumps({"n_dev": n_dev, "t_s": round(t, 4), "rays_per_dev": N_PER_DEV}))
 
 
-def _measure_scaling():
-    """Weak scaling on the CPU backend: 1 device pinned to 1 core vs
-    2 devices on 2 cores (this host has 2 physical cores). Run in
-    subprocesses because the main bench may sit on the TPU backend."""
+def _scaling_leg(nd: int, timed: bool = True, pin: bool = True):
+    """Run one scaling leg in a pinned CPU subprocess; returns its JSON."""
     import subprocess
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+               + f" --xla_force_host_platform_device_count={nd}")
+    env.pop("PYTHONPATH", None)
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--scaling-leg", str(nd)] + ([] if timed else ["--shape-only"])
+    if pin:
+        cmd = ["taskset", "-c", ",".join(str(c) for c in range(min(nd, 2)))] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=1500, env=env)
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    return None
+
+
+def _measure_scaling():
+    """Weak scaling of the fused sharded render on the benchmark scene:
+    1 device pinned to 1 core vs 2 devices on the 2 physical cores of this
+    host; plus 4- and 8-virtual-device shape checks (untimed — more virtual
+    devices than cores cannot be timed honestly)."""
     times = {}
     for nd in (1, 2):
-        env = dict(os.environ, JAX_PLATFORMS="cpu",
-                   XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
-                   + f" --xla_force_host_platform_device_count={nd}")
-        env.pop("PYTHONPATH", None)
-        cores = ",".join(str(c) for c in range(nd))
-        cmd = ["taskset", "-c", cores, sys.executable,
-               os.path.abspath(__file__), "--scaling-leg", str(nd)]
         try:
-            out = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=1500, env=env)
-            for line in reversed(out.stdout.strip().splitlines()):
-                if line.startswith("{"):
-                    times[nd] = json.loads(line)
-                    break
+            leg = _scaling_leg(nd, timed=True, pin=True)
         except Exception:
-            return None
+            leg = None
+        if leg:
+            times[nd] = leg
     if 1 not in times or 2 not in times:
         return None
     eff = times[1]["t_s"] / times[2]["t_s"]
-    return {"scaling_efficiency": round(eff, 3),
-            "t_1dev_1core_s": times[1]["t_s"], "t_2dev_2core_s": times[2]["t_s"],
-            "rays_per_dev": times[1]["rays_per_dev"]}
+    res = {"scaling_efficiency": round(eff, 3),
+           "t_1dev_1core_s": times[1]["t_s"], "t_2dev_2core_s": times[2]["t_s"],
+           "rays_per_dev": times[1]["rays_per_dev"]}
+    for nd in (4, 8):
+        try:
+            leg = _scaling_leg(nd, timed=False, pin=False)
+            res[f"shape_ok_{nd}dev"] = bool(leg and leg.get("shape_ok"))
+        except Exception:
+            res[f"shape_ok_{nd}dev"] = False
+    return res
 
 
 def main():
@@ -216,7 +268,21 @@ def main():
     except Exception as e:   # never lose the headline
         result["pol_error"] = repr(e)[:200]
 
-    # --- weak scaling on the CPU mesh (2 physical cores) ------------------
+    # --- fused streaming render (the production path for 10⁷–10⁸⁺ rays) ---
+    try:
+        RT_f = build_microscope() if have_fixtures else build_synthetic()
+        with __import__("optrace_tpu").global_options.no_warnings():
+            dt_f, N_f = _time_fused(RT_f)
+        result |= {
+            "fused_rays_per_s": round(N_f / dt_f),
+            "fused_s_per_surface_Mray": round(dt_f / n_surfaces / (N_f / 1e6), 6),
+            "fused_vs_baseline": round(
+                BASELINE_S_PER_SURFACE_PER_MRAY / (dt_f / n_surfaces / (N_f / 1e6)), 2),
+        }
+    except Exception as e:
+        result["fused_error"] = repr(e)[:200]
+
+    # --- weak scaling on the CPU mesh (benchmark scene, 2 physical cores) -
     try:
         scaling = _measure_scaling()
         if scaling:
@@ -230,6 +296,7 @@ def main():
 
 if __name__ == "__main__":
     if "--scaling-leg" in sys.argv:
-        scaling_main(int(sys.argv[sys.argv.index("--scaling-leg") + 1]))
+        scaling_main(int(sys.argv[sys.argv.index("--scaling-leg") + 1]),
+                     timed="--shape-only" not in sys.argv)
     else:
         main()

@@ -188,7 +188,11 @@ class RaySource(Element):
             elif div == "Isotropic" and not self.div_2d:
                 r, alpha = sampling.stratified_ring_sampling(
                     k_div, N, 0.0, np.sin(np.radians(self.div_angle)), polar=True)
-                theta = jnp.arccos(1 - r ** 2)
+                # theta = arccos(1 - r²) rewritten via the half-angle
+                # identity: f32-stable for small cones, where 1 - r² rounds
+                # to ~6 discrete levels (ulp(1.0)=1.2e-7 vs r² ~ 1e-6) and
+                # would quantize the whole divergence distribution
+                theta = 2.0 * jnp.arcsin(r * np.sqrt(0.5))
             elif div == "Isotropic":
                 theta = sampling.stratified_interval_sampling(k_div, N, 0.0, np.radians(self.div_angle))
             elif div == "Function" and not self.div_2d:
@@ -245,15 +249,22 @@ class RaySource(Element):
                 raise RuntimeError(f"Unknown polarization '{polm}'.")  # pragma: no cover
 
             # transport the xy-plane polarization onto each ray's transverse
-            # plane (reference ray_source.py:383-433)
+            # plane (reference ray_source.py:383-433). The in-plane frame
+            # axis comes from s_xy DIRECTLY (|ps| = 1 by construction):
+            # 1/sqrt(1−s_z²) is an f32 trap — normalize can round s_z one
+            # ulp above 1, the sqrt clamps to 0 and the 1e16 guard factor
+            # turned some polarization vectors into ~1e23 garbage
             pol0 = jnp.stack([jnp.cos(ang), jnp.sin(ang), jnp.zeros((N,))], axis=-1)
-            fa = 1.0 / (jnp.sqrt(jnp.maximum(1.0 - s[:, 2] ** 2, 0.0)) + 1e-16)
+            rxy = jnp.hypot(s[:, 0], s[:, 1])
+            axial = rxy < 1e-9
+            fa = 1.0 / jnp.where(axial, 1.0, rxy)
             ps = jnp.stack([s[:, 1] * fa, -s[:, 0] * fa, jnp.zeros((N,))], axis=-1)
             A_ts = ps[:, 0] * pol0[:, 0] + ps[:, 1] * pol0[:, 1]
             A_tp = ps[:, 1] * pol0[:, 0] - ps[:, 0] * pol0[:, 1]
             pp_ = jcross(ps, s)
             pol_t = ps * A_ts[:, None] + pp_ * A_tp[:, None]
-            pols = jnp.where((s[:, 2] != 1)[:, None], pol_t, pol0)
+            # axial rays: the xy-plane polarization is already transverse
+            pols = jnp.where(axial[:, None], pol0, pol_t)
 
         return p, s, pols, weights, wavelengths
 

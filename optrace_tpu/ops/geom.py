@@ -299,6 +299,28 @@ def hit_newton(sag_fn, o, s, z_min_rel, z_max_rel, iters: int = 40):
     return t, valid, ill
 
 
+ADVANCE_STANDOFF = 1.0   # mm of free flight kept before the surface
+
+
+def advance_to_standoff(p, s, z_min_rel, active):
+    """Recondition distant ray origins before a hit solve: advance each ray
+    along its own line to the plane ADVANCE_STANDOFF before the surface's
+    z-extent. A pure reparameterization (the line is unchanged), but it
+    removes the O(ulp(oz²)) cancellation that wrecks the f32 quadratic and
+    Newton solves when the previous section is far away — a source 50 m
+    from the first lens otherwise loses hits to ~mm-scale root noise, and
+    the advance itself is benign: t0 = (z_floor−oz)/sz carries only
+    one ulp(|oz|) ≈ 4 µm of longitudinal and |t0·s_xy|·eps ≈ 4e-6 mm of
+    lateral rounding.
+    """
+    sz = s[..., 2]
+    ok = active & (sz != 0)
+    z_floor = z_min_rel - ADVANCE_STANDOFF
+    t0 = (z_floor - p[..., 2]) / jnp.where(ok, sz, 1.0)
+    adv = ok & (t0 > 0)
+    return jnp.where(adv[..., None], p + t0[..., None] * s, p)
+
+
 def clamp_abnormal(o, s, t, valid_surface, z_max_rel):
     """Post-hit bookkeeping shared by all surface kinds.
 

@@ -29,50 +29,20 @@ def uniform(key, N: int, a: float, b: float) -> jnp.ndarray:
     return jax.random.uniform(key, (N,), minval=a, maxval=b)
 
 
-def _coprime_strides(N: int, count: int = 16) -> list:
-    """Host-side: strides coprime to N spread over (0, N) (static N)."""
-    out = []
-    phi = 0.6180339887498949
-    x = phi
-    for _ in range(4 * count):
-        if len(out) >= count:
-            break
-        cand = max(1, int(N * (x % 1.0))) | 1
-        while math.gcd(cand, N) != 1:
-            cand += 2
-        cand = cand % N or 1
-        if cand not in out:
-            out.append(cand)
-        x += phi
-    return out or [1]
+def _shuffle_permutation(key, N: int) -> jnp.ndarray:
+    """True random permutation of [0, N) for decorrelating stratification
+    order between sampling streams (wavelength vs position vs divergence).
 
-
-def _cheap_permutation(key, N: int) -> jnp.ndarray:
-    """Random multiplicative-stride permutation i → (a·i + b) mod N with a
-    coprime to N (a bijection, so stratification is preserved exactly).
-
-    Used to decorrelate stratification order between independent sampling
-    streams. A full Fisher-Yates (jax.random.permutation) lowers to a sort
-    — one of the most expensive ops per generated ray on TPU — while this
-    is pure index arithmetic. The stride is drawn from a host-precomputed
-    coprime table, the offset uniformly.
+    This MUST be a pseudorandom bijection: the earlier affine-stride
+    permutation (a·i + b mod N) composed one stream with the inverse of
+    another into ANOTHER affine map, so the (wavelength-rank, angle-rank)
+    pairs of every ray lay on a lattice — a polychromatic trace then
+    correlated color with aim angle and skewed every chromatic image (the
+    double-gauss PSF came out blue). jax.random.permutation lowers to a
+    sort (~ms at 10⁶ rays, ~2% of a 57-surface trace step) — the price of
+    actually independent streams.
     """
-    k1, k2 = jax.random.split(key)
-    strides = jnp.asarray(_coprime_strides(N), dtype=jnp.uint32)
-    a = strides[jax.random.randint(k1, (), 0, strides.shape[0])]
-    b = jax.random.randint(k2, (), 0, max(N, 1)).astype(jnp.uint32)
-    if N >= (1 << 24):
-        raise ValueError("cheap permutation supports N < 2^24 per batch")
-    # 32-bit overflow-safe (a·i + b) mod N: process i byte-wise so every
-    # intermediate stays below N·2^8 < 2^32 (a < N < 2^24)
-    i = jnp.arange(N, dtype=jnp.uint32)
-    Nn = jnp.uint32(N)
-    acc = jnp.zeros_like(i)
-    for shift in (24, 16, 8, 0):
-        byte = (i >> shift) & jnp.uint32(0xFF)
-        acc = (((acc << 8) % Nn) + (a * byte) % Nn) % Nn
-    idx = (acc + b % Nn) % Nn
-    return idx.astype(jnp.int32)
+    return jax.random.permutation(key, N)
 
 
 def stratified_interval_sampling(key, N: int, a, b,
@@ -86,7 +56,7 @@ def stratified_interval_sampling(key, N: int, a, b,
     jitter = jax.random.uniform(k1, (N,))
     if shuffle:
         # permutation of arange IS the permutation array: pure arithmetic
-        cells = _cheap_permutation(k2, N).astype(jitter.dtype)
+        cells = _shuffle_permutation(k2, N).astype(jitter.dtype)
     else:
         cells = jnp.arange(N, dtype=jitter.dtype)
     pos = (cells + jitter) / N
@@ -126,7 +96,7 @@ def stratified_rectangle_sampling(key, N: int, x0, x1, y0, y1,
         gy = jnp.concatenate([gy, ry])
 
     if shuffle:
-        perm = _cheap_permutation(k4, N)
+        perm = _shuffle_permutation(k4, N)
         gx, gy = gx[perm], gy[perm]
 
     return x0 + (x1 - x0) * gx, y0 + (y1 - y0) * gy

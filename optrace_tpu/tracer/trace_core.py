@@ -65,10 +65,12 @@ def _surface_hit(step: TraceStep, p, s, hw):
     Returns (p_new, hit, ill, n_broken).
     """
     params = step.sfns.params
-    # p is already relative to the surface vertex (local frame)
-    t, valid, ill = step.sfns.hit_fn(params, p, s)
-    t2, ok, broken = geom.clamp_abnormal(p, s, t, valid, params["z_max_rel"])
-    p_hit = p + t2[:, None] * s
+    # p is already relative to the surface vertex (local frame); recondition
+    # rays whose previous section is far away before solving
+    ps = geom.advance_to_standoff(p, s, params["z_min_rel"], hw)
+    t, valid, ill = step.sfns.hit_fn(params, ps, s)
+    t2, ok, broken = geom.clamp_abnormal(ps, s, t, valid, params["z_max_rel"])
+    p_hit = ps + t2[:, None] * s
     hit = step.sfns.mask_fn(params, p_hit[:, 0], p_hit[:, 1]) & ok
     p_new = jnp.where(hw[:, None], p_hit, p)
     hit = hit & hw
@@ -132,6 +134,10 @@ def _refract_core(n, n1, n2, s, w, pols, hit, no_pol):
     """Snell + Fresnel given per-ray normals and indices; shared by the
     unrolled step and the scanned conic-run body."""
     ns = rdot(n, s)                      # cos(alpha)
+    # grazing incidence: T → 0 physically, but the f32 evaluation is 0/0
+    # (every factor carries cos(alpha)); take the limit explicitly
+    graze = ns < 1e-6
+    ns_safe = jnp.where(graze, 1.0, ns)
     Nq = n1 / n2
     W2 = 1.0 - Nq * Nq * (1.0 - ns * ns)
     tir = W2 < 0.0
@@ -143,12 +149,12 @@ def _refract_core(n, n1, n2, s, w, pols, hit, no_pol):
     upd = hit & ~tir
     A_ts, A_tp, pols_new = _compute_polarization(s, s_, pols, upd, no_pol)
 
-    n1ca = n1 * ns
+    n1ca = n1 * ns_safe
     n2cb = n2 * W
     ts = 2.0 * n1ca / (n1ca + n2cb)
-    tp = 2.0 * n1ca / (n2 * ns + n1 * W)
+    tp = 2.0 * n1ca / (n2 * ns_safe + n1 * W)
     T = n2cb / n1ca * ((A_ts * ts) ** 2 + (A_tp * tp) ** 2)
-    T = jnp.where(tir, 0.0, T)
+    T = jnp.where(tir | graze, 0.0, T)
 
     w_new = jnp.where(hit, w * T, w)
     s_new = jnp.where(upd[:, None], s_, s)
@@ -364,14 +370,17 @@ def _conic_scan(steps, idxs, chain, outline64, n_tab, pairs,
         p = p - (x["pos"] - x["pos_h"])
         p_prev, w_prev = p, w
 
-        t_c, valid_c = geom.hit_conic(p, s, x["rho"], x["k"],
+        # recondition distant origins before the hit solve (same as
+        # _surface_hit; the ray line is unchanged)
+        ps = geom.advance_to_standoff(p, s, x["z_min_rel"], hw)
+        t_c, valid_c = geom.hit_conic(ps, s, x["rho"], x["k"],
                                       x["z_min_rel"], x["z_max_rel"])
-        t_f = geom.hit_plane(p, s)
+        t_f = geom.hit_plane(ps, s)
         valid_f = jnp.isfinite(t_f) & (t_f >= -geom.C_EPS)
         t = jnp.where(x["is_flat"], t_f, t_c)
         valid = jnp.where(x["is_flat"], valid_f, valid_c)
-        t2, ok, _ = geom.clamp_abnormal(p, s, t, valid, x["z_max_rel"])
-        p_hit = p + t2[:, None] * s
+        t2, ok, _ = geom.clamp_abnormal(ps, s, t, valid, x["z_max_rel"])
+        p_hit = ps + t2[:, None] * s
         hit = geom.mask_circle(p_hit[:, 0], p_hit[:, 1], x["r"]) & ok
         p = jnp.where(hw[:, None], p_hit, p)
         hit = hit & hw

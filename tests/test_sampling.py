@@ -106,3 +106,55 @@ class TestInverseTransform:
         fn = jax.jit(lambda k: sampling.stratified_ring_sampling(k, 256, 0.1, 1.0))
         x, y = fn(KEY)
         assert x.shape == (256,)
+
+
+class TestSamplingNumericalSafety:
+
+    def test_axial_polarization_finite(self):
+        """Near-axial rays (f32 normalize can round s_z one ulp above 1)
+        must still get unit polarization vectors — the transverse frame is
+        built from s_xy, not 1/sqrt(1-s_z²) (regression: converging point
+        sources produced ~1e23 polarization garbage and inf ray weights)."""
+        import jax
+        import optrace_tpu as ot
+
+        RS = ot.RaySource(ot.CircularSurface(r=0.05), divergence="Isotropic",
+                          orientation="Converging", conv_pos=[0, 0, 0],
+                          div_angle=0.15, pos=[0, 0, -1333],
+                          spectrum=ot.presets.light_spectrum.d65,
+                          polarization="Uniform")
+        p, s, pol, w, wl = RS.create_rays(jax.random.PRNGKey(5), 50000,
+                                          no_pol=False, power=1)
+        pol = np.asarray(pol)
+        assert np.all(np.isfinite(pol))
+        norms = np.linalg.norm(pol, axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+        # transverse: pol ⟂ s
+        dots = np.abs(np.sum(np.asarray(s) * pol, axis=-1))
+        assert dots.max() < 1e-3
+
+    def test_small_cone_isotropic_distribution(self):
+        """cos(theta) is uniform on the cap even for tiny cones where
+        arccos(1-r²) would quantize in f32 (regression: theta = 2·asin(r/√2))."""
+        import jax
+        import optrace_tpu as ot
+
+        RS = ot.RaySource(ot.Point(), divergence="Isotropic",
+                          orientation="Constant", s=[0, 0, 1],
+                          div_angle=0.05, pos=[0, 0, 0],
+                          spectrum=ot.LightSpectrum("Monochromatic", wl=550))
+        _, s, _, _, _ = RS.create_rays(jax.random.PRNGKey(0), 100000,
+                                       no_pol=True, power=1)
+        s = np.asarray(s, dtype=np.float64)
+        a = np.radians(0.05)
+        # measure theta via sin(theta) = |s_xy| — full f32 resolution near 0,
+        # unlike s_z = cos(theta) which quantizes at ulp(1.0)
+        sin_t = np.hypot(s[:, 0], s[:, 1])
+        # reference formula: cos(theta) = 1 - r² with r² uniform in
+        # [0, sin²a] (ray_source.py:313-317), so P(theta < x) = (1-cos x)/sin²a
+        x = np.radians(0.0435)
+        frac = (sin_t < np.sin(x)).mean()
+        expected = (1 - np.cos(x)) / np.sin(a) ** 2
+        assert frac == pytest.approx(expected, abs=0.01)
+        # the quantized arccos gave ~6 discrete levels; require many more
+        assert np.unique(np.round(np.degrees(np.arcsin(np.clip(sin_t, 0, 1))), 7)).size > 1000
