@@ -459,22 +459,28 @@ class Raytracer(Group):
             else (0, self.rays.N)
 
         dsurf = self.detectors[detector_index].surface
-        sfns = compile_surface(dsurf)
         det_zmin = float(dsurf.z_min)
-
-        p_all = jnp.asarray(self.rays.p_list[Ns:Ne], dtype=jnp.float32)
-        w_all = jnp.asarray(self.rays.w_list[Ns:Ne])
         wl = np.asarray(self.rays.wl_list[Ns:Ne])
 
         from .detector import detector_hits, build_segment_mask
         seg_mask = tuple(build_segment_mask(self._section_z_bounds(),
                                             det_zmin, float(dsurf.z_max)))
 
-        @jax.jit
-        def hits(p_all, w_all):
-            return detector_hits(sfns, det_zmin, p_all, w_all, segment_mask=seg_mask)
+        # The stored sections are f64 (ray_storage.fill) — keep that
+        # precision through the hit solve instead of downcasting to f32.
+        # Runs on the CPU backend, where f64 is native: this is a
+        # once-per-image host-API step over host-resident data (the fused
+        # streaming render never comes through here and stays f32 on TPU).
+        with jax.enable_x64(), jax.default_device(jax.devices("cpu")[0]):
+            sfns = compile_surface(dsurf, dtype=np.float64)
+            p_all = jnp.asarray(self.rays.p_list[Ns:Ne])
+            w_all = jnp.asarray(np.asarray(self.rays.w_list[Ns:Ne],
+                                           dtype=np.float64))
 
-        ph, w, ish, n_ill = jax.tree_util.tree_map(np.asarray, hits(p_all, w_all))
+            hits = jax.jit(lambda p, w: detector_hits(
+                sfns, det_zmin, p, w, segment_mask=seg_mask))
+            ph, w, ish, n_ill = jax.tree_util.tree_map(np.asarray,
+                                                       hits(p_all, w_all))
         bar.update()
 
         hitw = ish & (w > 0)

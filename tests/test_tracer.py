@@ -214,6 +214,24 @@ class TestImagesSpectra:
         assert img.projection == "Equidistant"
         assert img.power() > 0.99
 
+    def test_detector_hit_residual_f64(self):
+        """The host-API hit solve consumes the stored f64 sections at full
+        precision: residual |sag(x,y) − (z−z0)| of every spherical-detector
+        hit must sit at f64 rounding scale, far below f32 resolution."""
+        RT = make_rt(outline=(-10, 10, -10, 10, -10, 60))
+        RT.add(mono_source(r=2.0, divergence="Lambertian", div_angle=5))
+        RT.add(ot.Detector(ot.SphericalSurface(r=5, R=-20), pos=[0, 0, 30]))
+        RT.trace(20000)
+        ph, w, wl, *_ = RT._hit_detector("t", 0, projection_method=None)
+        assert ph.dtype == np.float64 and len(ph) > 1000
+        dsurf = RT.detectors[0].surface
+        R, z0 = -20.0, float(dsurf.pos[2])
+        r2 = ph[:, 0] ** 2 + ph[:, 1] ** 2
+        sag = r2 / (-R) / (1 + np.sqrt(1 - r2 / R ** 2))
+        resid = np.abs((ph[:, 2] - z0) + sag)
+        # f32 would leave ~ulp(30 mm) ≈ 2e-6 mm; f64 is ~1e-14 mm
+        assert resid.max() < 1e-9
+
 
 class TestErrors:
 
