@@ -237,6 +237,74 @@ def _measure_scaling():
     return res
 
 
+def _bench_binning(N=1_000_000, Nx=189, Ny=189, reps=5):
+    """Time the three XYZW binning variants on the active backend
+    (VERDICT r2 #9 Pallas probe — report the comparison either way)."""
+    import numpy as np
+    from optrace_tpu.ops import binning
+    from optrace_tpu.ops.pallas_binning import bin_xyzw_pallas
+
+    rng = np.random.default_rng(0)
+    px = rng.uniform(-1.0, 1.0, N).astype(np.float32)
+    py = rng.uniform(-1.0, 1.0, N).astype(np.float32)
+    w = rng.uniform(0.0, 1.0, N).astype(np.float32)
+    wl = rng.uniform(380.0, 780.0, N).astype(np.float32)
+    ext = (-1.0, 1.0, -1.0, 1.0)
+    args = tuple(jax.device_put(a) for a in (px, py, w, wl))
+
+    def timeit(fn):
+        f = jax.jit(lambda a, b, c, d: fn(a, b, c, d, Nx, Ny, ext))
+        out = f(*args); jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(*args)
+            jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    res = {"backend": jax.default_backend(), "N": N, "grid": [Ny, Nx],
+           "scatter_s": round(timeit(binning.bin_xyzw), 5),
+           "sorted_s": round(timeit(binning.bin_xyzw_sorted), 5)}
+    if on_tpu:    # interpreter mode off-TPU is not a meaningful timing
+        res["pallas_s"] = round(timeit(bin_xyzw_pallas), 5)
+        res["pallas_vs_scatter"] = round(res["scatter_s"] / res["pallas_s"], 2)
+    return res
+
+
+def _bench_trace_step(N=1_000_000, reps=5):
+    """Fused conic hit+refract step: Pallas kernel vs XLA fusion
+    (VERDICT r2 #9 probe — comparison reported either way)."""
+    import numpy as np
+    from optrace_tpu.ops.pallas_trace import conic_step_pallas, conic_step_xla
+
+    rng = np.random.default_rng(0)
+    p = np.column_stack([rng.uniform(-2, 2, (N, 2)),
+                         np.full(N, -5.0)]).astype(np.float32)
+    s = rng.normal(0, 0.05, (N, 3)).astype(np.float32)
+    s[:, 2] = 1.0
+    s /= np.linalg.norm(s, axis=1, keepdims=True)
+    w = rng.uniform(0.5, 1, N).astype(np.float32)
+    n1 = np.full(N, 1.0, np.float32)
+    n2 = np.full(N, 1.52, np.float32)
+    args = tuple(jax.device_put(a) for a in (p, s, w, n1, n2))
+    kw = dict(rho=1 / 20.0, k=-0.5, z_min_rel=0.0, z_max_rel=0.3, r_ap=3.0)
+
+    def timeit(fn):
+        out = fn(*args, **kw); jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args, **kw)
+            jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps
+
+    res = {"backend": jax.default_backend(), "N": N,
+           "xla_s": round(timeit(conic_step_xla), 5)}
+    if jax.default_backend() not in ("cpu",):
+        res["pallas_s"] = round(timeit(conic_step_pallas), 5)
+        res["pallas_vs_xla"] = round(res["xla_s"] / res["pallas_s"], 2)
+    return res
+
+
 def main():
     have_fixtures = os.path.isdir(RES)
 
@@ -281,6 +349,18 @@ def main():
         }
     except Exception as e:
         result["fused_error"] = repr(e)[:200]
+
+    # --- binning kernel comparison: XLA scatter vs sort vs Pallas MXU -----
+    try:
+        result["binning"] = _bench_binning()
+    except Exception as e:
+        result["binning_error"] = repr(e)[:200]
+
+    # --- fused trace step: Pallas kernel vs XLA fusion --------------------
+    try:
+        result["trace_step"] = _bench_trace_step()
+    except Exception as e:
+        result["trace_step_error"] = repr(e)[:200]
 
     # --- weak scaling on the CPU mesh (benchmark scene, 2 physical cores) -
     try:

@@ -26,6 +26,7 @@ from ..tracer.trace_core import trace_bundle
 from ..tracer.detector import (detector_hits, build_segment_mask, init_hit_carry,
                                segment_update, sphere_projection_xy)
 from ..ops import binning
+from ..utils.global_options import global_options
 
 
 def default_mesh(axis_name: str = "rays") -> Mesh:
@@ -73,6 +74,9 @@ def _detector_sink(RT, detector_index: int, projection_method, extent,
             fx = filter_extent
             inside = (fx[0] <= x) & (x <= fx[1]) & (fx[2] <= y) & (y <= fx[3])
             wm = jnp.where(inside, wm, 0.0)
+        if global_options.pallas_binning:
+            from ..ops.pallas_binning import bin_xyzw_pallas
+            return bin_xyzw_pallas(x, y, wm, wl, Nx, Ny, ext)
         return binning.bin_xyzw(x, y, wm, wl, Nx, Ny, ext)
 
     return sink, finalize, ext, seg_mask

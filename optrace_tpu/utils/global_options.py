@@ -27,6 +27,7 @@ class _GlobalOptions:
         # TPU-native additions
         self._float_dtype = "float32"
         self._mesh_axis_name: str = "rays"
+        self._pallas_binning: bool = False
 
     # ------------------------------------------------------------------
     @property
@@ -109,6 +110,18 @@ class _GlobalOptions:
         if val not in ("float32", "float64"):
             raise ValueError("float_dtype must be 'float32' or 'float64'.")
         self._float_dtype = val
+
+    @property
+    def pallas_binning(self) -> bool:
+        """Route the fused render's XYZW binning through the Pallas MXU
+        one-hot kernel (ops/pallas_binning.py) instead of the XLA scatter.
+        Off by default; bench.py reports the on-device comparison."""
+        return self._pallas_binning
+
+    @pallas_binning.setter
+    def pallas_binning(self, val: bool) -> None:
+        self._check_bool("pallas_binning", val)
+        self._pallas_binning = val
 
     @property
     def mesh_axis_name(self) -> str:

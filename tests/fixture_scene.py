@@ -1,4 +1,4 @@
-"""Shared mixed-media tracing fixture (reference tests/tracing_geometry.py:10-88).
+"""Shared mixed-media tracing fixture (reference tests/tracing_geometry.py:10-88; named fixture_scene here to avoid namespace-package collision with the reference module).
 
 A deliberately heterogeneous scene: two sources (different spectra,
 polarizations, powers), a constant-index plano lens, two conic lenses, an
