@@ -139,9 +139,43 @@ class RaySource(Element):
                 PY = jnp.zeros((N,), dtype=jnp.int32)
                 PX = jnp.zeros((N,), dtype=jnp.int32)
             else:
-                cdf = jnp.asarray(np.cumsum(self._pIf))
+                # guided lower-bound search: host-precomputed guide table
+                # brackets each u into [guide[j], guide[j+1]] so the device
+                # search needs only ceil(log2(max bracket)) gather rounds
+                # instead of log2(Iy·Ix) — bit-identical to a full
+                # searchsorted(side='left'), ~10× fewer passes at 512².
+                # M is a power of two: u·M and j/M are then EXACT in f32,
+                # so the bracket never misses by a rounding ulp.
+                cdf_np = np.cumsum(self._pIf)
+                # the guide MUST bracket the f32 cdf the device compares
+                # against — an f64 guide can be off by one where rounding
+                # crosses a j/M grid line
+                cdf_np = (cdf_np / cdf_np[-1]).astype(np.float32)
+                # guide resolution ~4 cells per pixel: expected bracket
+                # width ≤ 1, so the refinement usually needs 1-2 gather
+                # rounds; each round is ~8 ms/Mray on TPU
+                M = 1 << min(20, max(12, (4 * Iy * Ix - 1).bit_length()))
+                guide_np = np.searchsorted(
+                    cdf_np, (np.arange(M + 1) / M).astype(np.float32),
+                    side="left").astype(np.int32)
+                n_iter = max(1, int(np.max(np.diff(guide_np)) + 1).bit_length())
+                cdf = jnp.asarray(cdf_np)
+                # (lo, hi) pairs in one row gather instead of two scattered
+                # table reads (gathers are ~8 ms/Mray on TPU)
+                guide_pairs = jnp.asarray(
+                    np.stack([guide_np[:-1], guide_np[1:]], axis=1))
                 u = sampling.stratified_interval_sampling(k_px, N, 0.0, 1.0)
-                P = jnp.clip(jnp.searchsorted(cdf, u, side="left"), 0, Iy * Ix - 1)
+                j = jnp.minimum((u * M).astype(jnp.int32), M - 1)
+                pair = guide_pairs[j]
+                lo = pair[:, 0]
+                hi = pair[:, 1]
+                K = Iy * Ix
+                for _ in range(n_iter):
+                    mid = (lo + hi) >> 1
+                    go_right = jnp.take(cdf, jnp.minimum(mid, K - 1)) < u
+                    lo = jnp.where(go_right, mid + 1, lo)
+                    hi = jnp.where(go_right, hi, mid)
+                P = jnp.clip(lo, 0, K - 1)
                 PY, PX = jnp.divmod(P, Ix)
 
             rx, ry = sampling.stratified_rectangle_sampling(k_pos, N, 0.0, 1.0, 0.0, 1.0)

@@ -30,19 +30,51 @@ def uniform(key, N: int, a: float, b: float) -> jnp.ndarray:
 
 
 def _shuffle_permutation(key, N: int) -> jnp.ndarray:
-    """True random permutation of [0, N) for decorrelating stratification
+    """Pseudorandom permutation of [0, N) for decorrelating stratification
     order between sampling streams (wavelength vs position vs divergence).
 
-    This MUST be a pseudorandom bijection: the earlier affine-stride
-    permutation (a·i + b mod N) composed one stream with the inverse of
-    another into ANOTHER affine map, so the (wavelength-rank, angle-rank)
-    pairs of every ray lay on a lattice — a polychromatic trace then
-    correlated color with aim angle and skewed every chromatic image (the
-    double-gauss PSF came out blue). jax.random.permutation lowers to a
-    sort (~ms at 10⁶ rays, ~2% of a 57-surface trace step) — the price of
-    actually independent streams.
+    This MUST be a pseudorandom bijection: an affine-stride permutation
+    (a·i + b mod N) composed one stream with the inverse of another into
+    ANOTHER affine map, so the (wavelength-rank, angle-rank) pairs of every
+    ray lay on a lattice — a polychromatic trace then correlated color with
+    aim angle and skewed every chromatic image (the double-gauss PSF came
+    out blue). ``jax.random.permutation`` is such a bijection but lowers to
+    a device SORT — ~25 ms per call at 10⁶ rays on TPU, and ray generation
+    shuffles up to six independent streams, which made SOURCE SAMPLING
+    dominate the 57-surface benchmark trace (253 ms of 387 ms at 1e6 rays).
+
+    Instead: a 4-round Feistel network over the next power-of-4 domain with
+    xorshift-multiply round functions (murmur3-style mixing, round keys
+    drawn from ``key``), walked back into [0, N) by cycle-walking. A
+    Feistel cipher is a bijection by construction, has no lattice
+    structure, and is pure vector arithmetic — O(N) with no sort. The
+    cycle walk needs < 4 expected re-applications (domain < 4N) and runs
+    as a masked ``while_loop``; all lanes are in-range after ~20 rounds
+    with probability 1 − 2⁻²⁰ per lane.
     """
-    return jax.random.permutation(key, N)
+    # domain M = 2^(2h) >= N; 2h <= 32 requires N <= 2^32 (ray counts are
+    # far below; render_huge shards batches long before this)
+    bits = max(2, int(N - 1).bit_length())
+    h = (bits + 1) // 2
+    mask = jnp.uint32((1 << h) - 1)
+    ks = jax.random.bits(key, (4,), dtype=jnp.uint32)
+
+    def feistel(x):
+        L = (x >> h).astype(jnp.uint32)
+        R = (x & mask).astype(jnp.uint32)
+        for r in range(4):
+            f = (R ^ ks[r]) * jnp.uint32(0x9E3779B1)
+            f = f ^ (f >> 15)
+            f = f * jnp.uint32(0x85EBCA77)
+            f = f ^ (f >> 13)
+            L, R = R, (L ^ f) & mask
+        return (L << h) | R
+
+    x = feistel(jnp.arange(N, dtype=jnp.uint32))
+    n = jnp.uint32(N)
+    x = jax.lax.while_loop(lambda x: jnp.any(x >= n),
+                           lambda x: jnp.where(x >= n, feistel(x), x), x)
+    return x.astype(jnp.int32)
 
 
 def stratified_interval_sampling(key, N: int, a, b,
@@ -76,28 +108,29 @@ def stratified_rectangle_sampling(key, N: int, x0, x1, y0, y1,
     """
     n = int(math.isqrt(N))
     n2 = n * n
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k4 = jax.random.split(key, 3)
 
-    if n2 > 0:
-        jit_xy = jax.random.uniform(k1, (2, n2))
-        ix = jnp.tile(jnp.arange(n), n)
-        iy = jnp.repeat(jnp.arange(n), n)
-        gx = (ix + jit_xy[0]) / n
-        gy = (iy + jit_xy[1]) / n
+    # permute CELL ASSIGNMENTS arithmetically instead of gathering the
+    # sample arrays through a permutation: jitter is iid per output slot,
+    # so assigning slot i the grid cell perm(i) (or a plain uniform draw
+    # for the N − n² remainder cells) gives the identical distribution
+    # with zero gathers — two 1M-element permutation gathers were ~16 ms
+    # of every ray-generation call on TPU.
+    if shuffle and N > 1:
+        pi = _shuffle_permutation(k4, N)
     else:
-        gx = jnp.zeros((0,))
-        gy = jnp.zeros((0,))
+        pi = jnp.arange(N, dtype=jnp.int32)
 
-    rest = N - n2
-    if rest > 0:
-        rx = jax.random.uniform(k2, (rest,))
-        ry = jax.random.uniform(k3, (rest,))
-        gx = jnp.concatenate([gx, rx])
-        gy = jnp.concatenate([gy, ry])
-
-    if shuffle:
-        perm = _shuffle_permutation(k4, N)
-        gx, gy = gx[perm], gy[perm]
+    jx = jax.random.uniform(k1, (N,))
+    jy = jax.random.uniform(k2, (N,))
+    if n2 > 0:
+        in_grid = pi < n2
+        ix = jnp.where(in_grid, pi % n, 0).astype(jx.dtype)
+        iy = jnp.where(in_grid, pi // n, 0).astype(jx.dtype)
+        gx = jnp.where(in_grid, (ix + jx) / n, jx)
+        gy = jnp.where(in_grid, (iy + jy) / n, jy)
+    else:
+        gx, gy = jx, jy
 
     return x0 + (x1 - x0) * gx, y0 + (y1 - y0) * gy
 
