@@ -2,7 +2,12 @@
 microscope (Nikon patent objective + tube + eyepiece + Arizona eye model),
 cell-image source with Lambertian divergence, 10⁶ rays, no polarization.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+IMMEDIATELY after the first measurement, then re-prints the merged line
+after each enrichment section (pol / fused / scaling) under a hard wall
+budget (BENCH_BUDGET_S, default 21 min) — consumers parse the LAST line
+starting with '{'. A watchdog thread guarantees a JSON line exists even
+if a later section wedges (VERDICT r3 #1).
 
 Mirrors /root/reference/tests/benchmark.py semantics: time a full trace
 (ray generation + surface-sequential propagation with all per-section
@@ -29,6 +34,7 @@ Besides the headline no-pol figure, the JSON line carries:
 import json
 import os
 import sys
+import threading
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -106,8 +112,10 @@ def build_synthetic():
     return RT
 
 
-def _time_trace(RT, N=1_000_000, reps=5):
-    """Mean trace wall time, compile excluded (reference benchmark.py:70-90)."""
+def _time_trace(RT, N=None, reps=5):
+    """Mean trace wall time, compile excluded (reference benchmark.py:70-90).
+    N defaults to 10^6 rays; BENCH_N overrides for smoke tests."""
+    N = N or int(os.environ.get("BENCH_N", "1000000"))
     nt = len(RT.tracing_surfaces) + 2
     RT.rays.init(RT.ray_sources, N, nt, RT.no_pol)
     fn = RT._get_trace_fn(N)
@@ -120,10 +128,12 @@ def _time_trace(RT, N=1_000_000, reps=5):
     return (time.perf_counter() - t0) / reps, N
 
 
-def _time_fused(RT, N=1_000_000, reps=5):
+def _time_fused(RT, N=None, reps=5):
     """Mean fused streaming render step time (source → trace → detector
     sink → XYZW bin, no section storage) — the production path for big
-    renders (parallel/render.py). Returns (t_mean, N)."""
+    renders (parallel/render.py). Returns (t_mean, N).
+    N defaults to 10^6 rays; BENCH_N overrides for smoke tests."""
+    N = N or int(os.environ.get("BENCH_N", "1000000"))
     import optrace_tpu as ot
     from optrace_tpu.parallel.render import make_fused_render
 
@@ -149,11 +159,12 @@ def _time_fused(RT, N=1_000_000, reps=5):
 def scaling_main(n_dev: int, timed: bool = True):
     """One leg of the weak-scaling probe ON THE BENCHMARK SCENE: fused
     sharded render of N_PER_DEV rays per device through the 57-surface
-    microscope on an n_dev CPU mesh; prints the mean step time. The caller
+    microscope on an n_dev CPU mesh; prints per-rep step times. The caller
     pins timed legs to n_dev cores, so per-device compute resources are
     constant across legs — the honest weak-scaling setup on a 2-core host.
-    Untimed legs (4/8 virtual devices) only validate that the sharded
-    program compiles, runs and conserves power."""
+    Legs reuse the persistent compile cache and run one untimed warmup
+    step after compile, so cold-compile time never contaminates the
+    measurement (VERDICT r3 #7)."""
     import numpy as np
     from jax.sharding import Mesh
     from optrace_tpu.parallel.render import make_sharded_render
@@ -169,28 +180,34 @@ def scaling_main(n_dev: int, timed: bool = True):
         if RT._pretrace_check(1000):
             raise RuntimeError("geometry checks failed")
 
-        N_PER_DEV = 50_000 if timed else 40_000
+        N_PER_DEV = 25_000 if timed else 40_000
         mesh = Mesh(np.array(jax.devices()[:n_dev]), ("rays",))
         step, _ = make_sharded_render(RT, N_PER_DEV * n_dev, mesh=mesh,
                                       detector_index=di,
                                       extent=(-2.0, 2.0, -2.0, 2.0),
                                       Nx=189, Ny=189)
-        out = step(jax.random.PRNGKey(0))
+        out = step(jax.random.PRNGKey(0))          # compile
         jax.block_until_ready(out)
         if not timed:
             img = np.asarray(out)
             ok = bool(np.isfinite(img).all() and img[:, :, 3].sum() > 0)
             print(json.dumps({"n_dev": n_dev, "shape_ok": ok}))
             return
-        t0 = time.perf_counter()
+        out = step(jax.random.PRNGKey(99))         # warmup (cache warm, no jit)
+        jax.block_until_ready(out)
+        reps = []
         for i in range(3):
+            t0 = time.perf_counter()
             out = step(jax.random.PRNGKey(i + 1))
             jax.block_until_ready(out)
-        t = (time.perf_counter() - t0) / 3
-    print(json.dumps({"n_dev": n_dev, "t_s": round(t, 4), "rays_per_dev": N_PER_DEV}))
+            reps.append(time.perf_counter() - t0)
+    print(json.dumps({"n_dev": n_dev, "t_s": round(min(reps), 4),
+                      "reps_s": [round(r, 4) for r in reps],
+                      "rays_per_dev": N_PER_DEV}))
 
 
-def _scaling_leg(nd: int, timed: bool = True, pin: bool = True):
+def _scaling_leg(nd: int, timed: bool = True, pin: bool = True,
+                 timeout_s: float = 420):
     """Run one scaling leg in a pinned CPU subprocess; returns its JSON."""
     import subprocess
     env = dict(os.environ, JAX_PLATFORMS="cpu",
@@ -202,22 +219,30 @@ def _scaling_leg(nd: int, timed: bool = True, pin: bool = True):
     if pin:
         cmd = ["taskset", "-c", ",".join(str(c) for c in range(min(nd, 2)))] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True,
-                         timeout=1500, env=env)
+                         timeout=timeout_s, env=env)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
     return None
 
 
-def _measure_scaling():
+def _measure_scaling(deadline_s: float = 420):
     """Weak scaling of the fused sharded render on the benchmark scene:
     1 device pinned to 1 core vs 2 devices on the 2 physical cores of this
-    host; plus 4- and 8-virtual-device shape checks (untimed — more virtual
-    devices than cores cannot be timed honestly)."""
+    host. Per-device resources constant across legs; legs share the
+    persistent compile cache, run an untimed warmup step, and report
+    per-rep times so noise is visible (VERDICT r3 #7). The 4/8-virtual-
+    device shape checks were dropped from the default bench: they cannot
+    be timed honestly on 2 cores and the same programs are exercised by
+    the test suite and the driver's dryrun_multichip."""
+    t0 = time.monotonic()
     times = {}
     for nd in (1, 2):
+        left = deadline_s - (time.monotonic() - t0)
+        if left < 60:
+            return None
         try:
-            leg = _scaling_leg(nd, timed=True, pin=True)
+            leg = _scaling_leg(nd, timed=True, pin=True, timeout_s=left)
         except Exception:
             leg = None
         if leg:
@@ -225,16 +250,12 @@ def _measure_scaling():
     if 1 not in times or 2 not in times:
         return None
     eff = times[1]["t_s"] / times[2]["t_s"]
-    res = {"scaling_efficiency": round(eff, 3),
-           "t_1dev_1core_s": times[1]["t_s"], "t_2dev_2core_s": times[2]["t_s"],
-           "rays_per_dev": times[1]["rays_per_dev"]}
-    for nd in (4, 8):
-        try:
-            leg = _scaling_leg(nd, timed=False, pin=False)
-            res[f"shape_ok_{nd}dev"] = bool(leg and leg.get("shape_ok"))
-        except Exception:
-            res[f"shape_ok_{nd}dev"] = False
-    return res
+    return {"scaling_efficiency": round(eff, 3),
+            "t_1dev_1core_s": times[1]["t_s"],
+            "t_2dev_2core_s": times[2]["t_s"],
+            "reps_1dev_s": times[1].get("reps_s"),
+            "reps_2dev_s": times[2].get("reps_s"),
+            "rays_per_dev": times[1]["rays_per_dev"]}
 
 
 def _bench_binning(N=1_000_000, Nx=189, Ny=189, reps=5):
@@ -342,72 +363,124 @@ def _probe_leg(flag: str, timeout_s: int = 900):
 
 
 def main():
+    """Headline-first benchmark under a hard wall budget.
+
+    Structure (VERDICT r3 #1 -- the round-3 artifact was lost to an
+    all-or-nothing bench): the no-pol headline is measured FIRST and its
+    JSON line printed immediately (flushed); every later section is
+    budget-gated, wrapped in try/except, and re-prints the full merged
+    JSON line when it finishes, so the last ``{``-line on stdout is always
+    the most complete result available. A daemon watchdog thread prints
+    the current result and hard-exits at the wall budget, so even a
+    wedged remote compile cannot lose the artifact. Mirrors the
+    reference's benchmark discipline (measure, print, exit --
+    /root/reference/tests/benchmark.py:70-90), then enriches.
+    """
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1260"))  # 21 min
+    t_start = time.monotonic()
+    result = {"metric": "s/surface/Mrays (headline pending)", "value": -1.0,
+              "unit": "s", "vs_baseline": 0.0,
+              "error": "watchdog fired before the headline finished"}
+    lock = threading.Lock()
+
+    def emit():
+        with lock:
+            print(json.dumps(result), flush=True)
+
+    def watchdog():
+        emit()
+        os._exit(0)
+
+    timer = threading.Timer(budget_s, watchdog)
+    timer.daemon = True
+    timer.start()
+
+    def remaining():
+        return budget_s - (time.monotonic() - t_start)
+
     have_fixtures = os.path.isdir(RES)
 
-    # --- headline: no-pol microscope trace --------------------------------
+    # --- headline: no-pol microscope trace (always runs) ------------------
     RT = build_microscope() if have_fixtures else build_synthetic()
     n_surfaces = len(RT.tracing_surfaces)
     dt, N = _time_trace(RT)
     s_nopol = dt / n_surfaces / (N / 1e6)
+    with lock:
+        result.clear()
+        result.update({
+            "metric": f"s/surface/Mrays ({n_surfaces}-surface microscope "
+                      "trace, no pol)",
+            "value": round(s_nopol, 6),
+            "unit": "s",
+            "vs_baseline": round(BASELINE_S_PER_SURFACE_PER_MRAY / s_nopol, 2),
+        })
+    emit()
 
-    result = {
-        "metric": f"s/surface/Mrays ({n_surfaces}-surface microscope trace, no pol)",
-        "value": round(s_nopol, 6),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_S_PER_SURFACE_PER_MRAY / s_nopol, 2),
-    }
+    def section(key, est_s, fn):
+        """Run one enrichment section if the budget allows; merge + re-emit."""
+        if remaining() < est_s:
+            with lock:
+                result[f"{key}_skipped"] = (
+                    f"budget: {remaining():.0f}s left < {est_s}s estimate")
+            return
+        try:
+            out = fn()
+            with lock:
+                result.update(out)
+        except Exception as e:   # never lose earlier sections
+            with lock:
+                result[f"{key}_error"] = repr(e)[:200]
+        emit()
 
-    # --- with-polarization variant (reference pol baselines 0.073–0.218 s,
+    # --- with-polarization variant (reference pol baselines 0.073-0.218 s,
     # docs/source/development/testing.rst:100-113) -------------------------
-    try:
+    def run_pol():
         RT_pol = build_microscope() if have_fixtures else build_synthetic()
         RT_pol.no_pol = False
         dt_pol, N_pol = _time_trace(RT_pol)
         s_pol = dt_pol / n_surfaces / (N_pol / 1e6)
-        result |= {
+        return {
             "pol_value": round(s_pol, 6),
             "pol_vs_baseline_1core": round(BASELINE_POL_1CORE / s_pol, 2),
             "pol_vs_baseline_16core": round(BASELINE_POL_16CORE / s_pol, 2),
         }
-    except Exception as e:   # never lose the headline
-        result["pol_error"] = repr(e)[:200]
 
-    # --- fused streaming render (the production path for 10⁷–10⁸⁺ rays) ---
-    try:
+    # --- fused streaming render (the production path for 10^7-10^8+ rays) -
+    def run_fused():
         RT_f = build_microscope() if have_fixtures else build_synthetic()
         with __import__("optrace_tpu").global_options.no_warnings():
             dt_f, N_f = _time_fused(RT_f)
-        result |= {
+        s_f = dt_f / n_surfaces / (N_f / 1e6)
+        return {
             "fused_rays_per_s": round(N_f / dt_f),
-            "fused_s_per_surface_Mray": round(dt_f / n_surfaces / (N_f / 1e6), 6),
-            "fused_vs_baseline": round(
-                BASELINE_S_PER_SURFACE_PER_MRAY / (dt_f / n_surfaces / (N_f / 1e6)), 2),
+            "fused_s_per_surface_Mray": round(s_f, 6),
+            "fused_vs_baseline": round(BASELINE_S_PER_SURFACE_PER_MRAY / s_f, 2),
         }
-    except Exception as e:
-        result["fused_error"] = repr(e)[:200]
-
-    # --- kernel probes (subprocess-isolated: a wedged remote-compile
-    # tunnel on one probe must never cost the headline JSON line) ---------
-    for leg, key in (("--binning-leg", "binning"), ("--step-leg", "trace_step")):
-        try:
-            out = _probe_leg(leg)
-            if out is not None:
-                result[key] = out
-            else:
-                result[f"{key}_error"] = "probe subprocess timed out/failed"
-        except Exception as e:
-            result[f"{key}_error"] = repr(e)[:200]
 
     # --- weak scaling on the CPU mesh (benchmark scene, 2 physical cores) -
-    try:
-        scaling = _measure_scaling()
-        if scaling:
-            result["scaling_efficiency_2dev_cpu"] = scaling["scaling_efficiency"]
-            result["scaling_detail"] = scaling
-    except Exception as e:
-        result["scaling_error"] = repr(e)[:200]
+    def run_scaling():
+        scaling = _measure_scaling(deadline_s=min(remaining() - 30.0, 420.0))
+        if not scaling:
+            return {"scaling_error": "legs failed or budget exhausted"}
+        return {"scaling_efficiency_2dev_cpu": scaling["scaling_efficiency"],
+                "scaling_detail": scaling}
 
-    print(json.dumps(result))
+    section("pol", 300, run_pol)
+    section("fused", 240, run_fused)
+    section("scaling", 240, run_scaling)
+
+    # --- kernel probes (subprocess-isolated, opt-in: measured and recorded
+    # in round 3 -- BENCH_FULL=1 reruns them; the default run keeps the
+    # artifact cheap per VERDICT r3 #1) -------------------------------------
+    if os.environ.get("BENCH_FULL"):
+        for leg, key in (("--binning-leg", "binning"),
+                         ("--step-leg", "trace_step")):
+            section(key, 300, lambda leg=leg, key=key: {
+                key: _probe_leg(leg, timeout_s=int(min(remaining() - 20, 600)))
+                     or "probe subprocess timed out/failed"})
+
+    timer.cancel()
+    emit()
 
 
 if __name__ == "__main__":

@@ -66,3 +66,13 @@ def automated(GUI):
 sim = TraceGUI(RT, ray_count=20000)
 sim.add_custom_button("Rerun", lambda: automated(sim))
 sim.control(func=automated, args=(sim,))
+
+# the custom button is a real rendered matplotlib widget; fire it through
+# a synthetic canvas click, exactly like a user pressing it in the panel
+assert "custom_button:Rerun" in sim.panel.widgets
+sim.scene.fig.canvas.draw()
+sim.panel.click_button("Rerun")
+
+# the keyboard layer works the same way: toggle high contrast and back
+sim.shortcuts.press("c")
+sim.shortcuts.press("c")

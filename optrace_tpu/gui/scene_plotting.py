@@ -63,8 +63,14 @@ class ScenePlotting:
     # ------------------------------------------------------------------
     def init_scene(self) -> None:
         if self.fig is None:
-            self.fig = plt.figure(figsize=(9, 7))
+            self.fig = plt.figure(figsize=(11, 7))
+            # scene occupies the left part; the right strip is reserved for
+            # the rendered widget side panel (interactors.SidePanel)
             self.ax = self.fig.add_subplot(111, projection="3d")
+            self.fig.subplots_adjust(left=0.0, right=0.72)
+            self._pick_text_artist = self.fig.text(
+                0.01, 0.01, "", fontsize=7, family="monospace",
+                verticalalignment="bottom")
         self.ax.set_xlabel("x in mm")
         self.ax.set_ylabel("y in mm")
         self.ax.set_zlabel("z in mm")
@@ -366,6 +372,12 @@ class ScenePlotting:
         d2 = np.sum((p - np.asarray(pos, dtype=np.float64)) ** 2, axis=-1)
         flat = int(np.argmin(d2))
         return int(idx[flat // p.shape[1]]), int(flat % p.shape[1])
+
+    def set_pick_text(self, txt: str) -> None:
+        """Show pick info in the scene corner (reference pick text overlay,
+        _scene_plotting.py:1248-1364)."""
+        if getattr(self, "_pick_text_artist", None) is not None:
+            self._pick_text_artist.set_text(txt)
 
     def clear_picking(self) -> None:
         self.clear_crosshair()

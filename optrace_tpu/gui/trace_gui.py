@@ -81,6 +81,10 @@ class TraceGUI:
         self.scene = ScenePlotting(self, raytracer, initial_camera=initial_camera)
         self._command_window = None
         self._property_browser = None
+        # interactive layer, built in init_scene (interactors.py)
+        self.panel = None
+        self.picker = None
+        self.shortcuts = None
 
         for k, v in kwargs.items():
             setattr(self, k, v)
@@ -107,6 +111,12 @@ class TraceGUI:
                 self.retrace()
             elif key in self._RAY_PROPS:
                 self.replot_rays()
+        panel = getattr(self, "panel", None)
+        if panel is not None:
+            if key == "maximize_scene":
+                panel.set_visible(not bool(val))
+            else:
+                panel.sync_builtin(key)
 
     # ------------------------------------------------------------------
     @property
@@ -134,6 +144,13 @@ class TraceGUI:
 
     def init_scene(self) -> None:
         self.scene.init_scene()
+        # rendered widgets + mouse picking + keyboard shortcuts
+        # (reference interactors.py:8-204, trace_gui.py:909-975)
+        from .interactors import SidePanel, MousePicking, KeyboardShortcuts
+        if self.panel is None:
+            self.panel = SidePanel(self)
+            self.picker = MousePicking(self)
+            self.shortcuts = KeyboardShortcuts(self)
         self.retrace()
         self._initialized = True
 
@@ -431,26 +448,39 @@ class TraceGUI:
     # ------------------------------------------------------------------
     # custom UI hooks (reference trace_gui.py:909-975)
 
+    def _panel_rebuild(self) -> None:
+        """Re-render the side panel after a custom hook is registered on a
+        live scene (hooks registered before init_scene are rendered by the
+        initial build)."""
+        if self.panel is not None:
+            self.panel.build()
+
     def add_custom_checkbox(self, name: str, val: bool, function: Callable = None) -> None:
         pc.check_type("val", val, bool)
         self._custom_checkboxes[name] = (val, function)
+        self._panel_rebuild()
 
     def add_custom_button(self, name: str, function: Callable) -> None:
         pc.check_callable("function", function)
         self._custom_buttons[name] = function
+        self._panel_rebuild()
 
     def add_custom_value(self, name: str, val: float, function: Callable = None) -> None:
         pc.check_type("val", val, (int, float))
         self._custom_values[name] = (val, function)
+        self._panel_rebuild()
 
     def add_custom_selection(self, name: str, list_: list, val: str,
                              function: Callable = None) -> None:
         pc.check_if_element("val", val, list_)
         self._custom_selections[name] = (val, list_, function)
+        self._panel_rebuild()
 
     def set_custom_checkbox(self, name: str, val: bool) -> None:
         old, fn = self._custom_checkboxes[name]
         self._custom_checkboxes[name] = (val, fn)
+        if self.panel is not None:
+            self.panel.sync_custom("checkbox", name)
         if fn:
             with self.smart_replot():
                 fn(val)
@@ -462,6 +492,8 @@ class TraceGUI:
     def set_custom_value(self, name: str, val: float) -> None:
         old, fn = self._custom_values[name]
         self._custom_values[name] = (val, fn)
+        if self.panel is not None:
+            self.panel.sync_custom("value", name)
         if fn:
             with self.smart_replot():
                 fn(val)
@@ -470,6 +502,8 @@ class TraceGUI:
         old, lst, fn = self._custom_selections[name]
         pc.check_if_element("val", val, lst)
         self._custom_selections[name] = (val, lst, fn)
+        if self.panel is not None:
+            self.panel.sync_custom("selection", name)
         if fn:
             with self.smart_replot():
                 fn(val)

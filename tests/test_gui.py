@@ -284,3 +284,205 @@ class TestSceneDepth:
             with gui.smart_replot():
                 gui.raytracer.ray_sources[0].move_to([0, 0, -10])
             assert gui.raytracer.check_if_rays_are_current()
+
+
+class TestInteractors:
+    """Rendered widget layer, synthetic mouse picking and keyboard
+    shortcuts (reference interactors.py:8-204, trace_gui.py:909-975;
+    VERDICT r3 #2)."""
+
+    @pytest.fixture()
+    def igui(self):
+        RT = tracing_geometry()
+        g = TraceGUI(RT, ray_count=3000)
+        ot.global_options.show_progress_bar = False
+        self.log = []
+        g.add_custom_checkbox("cbox", True, lambda v: self.log.append(("cb", v)))
+        g.add_custom_button("act", lambda: self.log.append(("btn",)))
+        g.add_custom_value("vfield", 1.5, lambda v: self.log.append(("val", v)))
+        g.add_custom_selection("pick", ["a", "b", "c"], "b",
+                               lambda v: self.log.append(("sel", v)))
+        with ot.global_options.no_warnings():
+            g.init_scene()
+        yield g
+        g.close()
+        ot.global_options.show_progress_bar = True
+
+    def test_widgets_are_rendered(self, igui):
+        """Custom hooks produce real matplotlib widget objects, not dict
+        entries only."""
+        from matplotlib.widgets import (Button, CheckButtons, RadioButtons,
+                                        Slider, TextBox)
+        w = igui.panel.widgets
+        assert isinstance(w["_builtin_checks"], CheckButtons)
+        assert isinstance(w["_rays_visible"], Slider)
+        assert isinstance(w["_coloring"], RadioButtons)
+        assert isinstance(w["_custom_checks"], CheckButtons)
+        assert isinstance(w["custom_button:act"], Button)
+        assert isinstance(w["custom_value:vfield"], TextBox)
+        assert isinstance(w["custom_selection:pick"], RadioButtons)
+
+    def test_checkbox_widget_to_dict(self, igui):
+        igui.panel.widgets["_custom_checks"].set_active(0)   # toggle off
+        assert igui._custom_checkboxes["cbox"][0] is False
+        assert ("cb", False) in self.log
+
+    def test_checkbox_dict_to_widget(self, igui):
+        igui.set_custom_checkbox("cbox", False)
+        assert igui.panel.widgets["_custom_checks"].get_status()[0] is False
+        igui.set_custom_checkbox("cbox", True)
+        assert igui.panel.widgets["_custom_checks"].get_status()[0] is True
+
+    def test_button_synthetic_click(self, igui):
+        igui.scene.fig.canvas.draw()
+        igui.panel.click_button("act")
+        assert ("btn",) in self.log
+
+    def test_value_textbox(self, igui):
+        igui.panel.widgets["custom_value:vfield"].set_val("2.75")
+        assert igui._custom_values["vfield"][0] == 2.75
+        assert ("val", 2.75) in self.log
+        # programmatic set reflects back into the textbox silently
+        self.log.clear()
+        igui.set_custom_value("vfield", 4.0)
+        assert igui.panel.widgets["custom_value:vfield"].text == "4.0"
+        assert self.log == [("val", 4.0)]   # hook fired once, not twice
+
+    def test_selection_radio(self, igui):
+        igui.panel.widgets["custom_selection:pick"].set_active(2)
+        assert igui._custom_selections["pick"][0] == "c"
+        igui.set_custom_selection("pick", "a")
+        rb = igui.panel.widgets["custom_selection:pick"]
+        assert rb.value_selected == "a"
+
+    def test_builtin_check_sync(self, igui):
+        """Programmatic property assignment updates the rendered built-in
+        checkbox state."""
+        i = igui.panel._BUILTIN_CHECKS.index("hide_labels")
+        igui.hide_labels = True
+        assert igui.panel.widgets["_builtin_checks"].get_status()[i] is True
+        igui.hide_labels = False
+        assert igui.panel.widgets["_builtin_checks"].get_status()[i] is False
+
+    def test_synthetic_click_picks_ray(self, igui):
+        """A click event at a displayed ray section's screen position
+        highlights that section and shows its info text."""
+        from matplotlib.backend_bases import MouseEvent
+        from mpl_toolkits.mplot3d import proj3d
+
+        igui.scene.fig.canvas.draw()
+        idx = int(np.where(igui.ray_selection)[0][0])
+        p = igui.raytracer.rays.p_list[idx, 1]
+        x2, y2, _ = proj3d.proj_transform(p[0], p[1], p[2],
+                                          igui.scene.ax.get_proj())
+        X, Y = igui.scene.ax.transData.transform((x2, y2))
+        canvas = igui.scene.fig.canvas
+        for ev in ("button_press_event", "button_release_event"):
+            canvas.callbacks.process(ev, MouseEvent(ev, canvas, X, Y, button=1))
+        assert igui.scene._pick_artist is not None
+        txt = igui.scene._pick_text_artist.get_text()
+        assert "Ray" in txt and "position" in txt
+
+    def test_click_empty_space_clears_pick(self, igui):
+        from matplotlib.backend_bases import MouseEvent
+
+        igui.scene.fig.canvas.draw()
+        # a corner far from any displayed ray
+        canvas = igui.scene.fig.canvas
+        bbox = igui.scene.ax.get_window_extent()
+        X, Y = bbox.x0 + 1, bbox.y1 - 1
+        for ev in ("button_press_event", "button_release_event"):
+            canvas.callbacks.process(ev, MouseEvent(ev, canvas, X, Y, button=1))
+        assert igui.scene._pick_artist is None
+        assert igui.scene._pick_text_artist.get_text() == ""
+
+    def test_right_click_space_pick(self, igui):
+        from matplotlib.backend_bases import MouseEvent
+        from mpl_toolkits.mplot3d import proj3d
+
+        igui.scene.fig.canvas.draw()
+        idx = int(np.where(igui.ray_selection)[0][0])
+        p = igui.raytracer.rays.p_list[idx, 1]
+        x2, y2, _ = proj3d.proj_transform(p[0], p[1], p[2],
+                                          igui.scene.ax.get_proj())
+        X, Y = igui.scene.ax.transData.transform((x2, y2))
+        canvas = igui.scene.fig.canvas
+        for ev in ("button_press_event", "button_release_event"):
+            canvas.callbacks.process(ev, MouseEvent(ev, canvas, X, Y, button=3))
+        assert igui.scene._crosshair_pos is not None
+        assert "Position" in igui.scene._pick_text_artist.get_text()
+
+    def test_drag_does_not_pick(self, igui):
+        """Press, move, release must NOT pick (reference Picker drag
+        suppression, interactors.py:29-43)."""
+        from matplotlib.backend_bases import MouseEvent
+        from mpl_toolkits.mplot3d import proj3d
+
+        igui.reset_picking()
+        igui.scene.set_pick_text("")
+        igui.scene.fig.canvas.draw()
+        idx = int(np.where(igui.ray_selection)[0][0])
+        p = igui.raytracer.rays.p_list[idx, 1]
+        x2, y2, _ = proj3d.proj_transform(p[0], p[1], p[2],
+                                          igui.scene.ax.get_proj())
+        X, Y = igui.scene.ax.transData.transform((x2, y2))
+        canvas = igui.scene.fig.canvas
+        canvas.callbacks.process("button_press_event",
+                                 MouseEvent("button_press_event", canvas, X, Y, button=1))
+        canvas.callbacks.process("motion_notify_event",
+                                 MouseEvent("motion_notify_event", canvas, X + 30, Y, button=1))
+        canvas.callbacks.process("button_release_event",
+                                 MouseEvent("button_release_event", canvas, X + 30, Y, button=1))
+        assert igui.scene._pick_text_artist.get_text() == ""
+
+    def test_keyboard_shortcuts(self, igui):
+        hc = igui.high_contrast
+        igui.shortcuts.press("c")
+        assert igui.high_contrast is not hc
+        igui.shortcuts.press("c")
+
+        ml = igui.minimalistic_view
+        igui.shortcuts.press("v")
+        assert igui.minimalistic_view is not ml
+        igui.shortcuts.press("v")
+
+        hl = igui.hide_labels
+        igui.shortcuts.press("b")
+        assert igui.hide_labels is not hl
+        igui.shortcuts.press("b")
+
+    def test_maximize_scene_hides_panel(self, igui):
+        igui.shortcuts.press("h")
+        assert igui.maximize_scene is True
+        assert not any(ax.get_visible() for ax in igui.panel._axes)
+        igui.shortcuts.press("h")
+        assert igui.maximize_scene is False
+        assert all(ax.get_visible() for ax in igui.panel._axes)
+
+    def test_zoom_and_move_keys(self, igui):
+        ax = igui.scene.ax
+        w0 = float(np.ptp(ax.get_xlim()))
+        igui.shortcuts.press("+")
+        assert float(np.ptp(ax.get_xlim())) < w0
+        igui.shortcuts.press("-")
+        x0 = float(np.mean(ax.get_xlim()))
+        igui.shortcuts.press("right")
+        assert float(np.mean(ax.get_xlim())) > x0
+
+        e0, a0 = ax.elev, ax.azim
+        igui.shortcuts.press("shift+up")
+        assert ax.elev == e0 + 5
+        igui.shortcuts.press("shift+left")
+        assert ax.azim == a0 + 5
+
+    def test_reset_view_key(self, igui):
+        igui.shortcuts.press("+")
+        igui.shortcuts.press("right")
+        igui.shortcuts.press("i")
+        o = igui.raytracer.outline
+        assert np.allclose(igui.scene.ax.get_xlim(), o[:2])
+
+    def test_replot_rays_key(self, igui):
+        sel0 = igui.ray_selection.copy()
+        igui.shortcuts.press("n")
+        assert igui.ray_selection.shape == sel0.shape
