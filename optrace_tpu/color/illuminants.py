@@ -22,16 +22,19 @@ ILLUMINANT_NAMES = list(_ILL_NAMES)
 
 
 def illuminant(name: str, wl) -> jnp.ndarray:
-    """Evaluate standard illuminant ``name`` at wavelengths ``wl`` (nm)."""
+    """Evaluate standard illuminant ``name`` at wavelengths ``wl`` (nm).
+    Host inputs evaluate in numpy (ops/xp.py)."""
+    from ..ops.xp import get_xp
+    xp = get_xp(wl)
     if name == "E":
-        return jnp.full_like(jnp.asarray(wl, dtype=jnp.float32), 100.0)
+        return xp.full_like(xp.asarray(wl, dtype=xp.float32), 100.0)
     if name not in _ILL_NAMES:
         raise ValueError(f"Unknown illuminant '{name}'. Available: {ILLUMINANT_NAMES + ['E']}")
     idx = _ILL_NAMES.index(name)
     spd = _ILL_SPDS[idx]
     valid = np.isfinite(spd)
-    return jnp.interp(jnp.asarray(wl), jnp.asarray(_ILL_WL[valid]),
-                      jnp.asarray(spd[valid]), left=0.0, right=0.0)
+    return xp.interp(xp.asarray(wl), xp.asarray(_ILL_WL[valid]),
+                     xp.asarray(spd[valid]), left=0.0, right=0.0)
 
 
 def _make_named(name):

@@ -33,19 +33,23 @@ def _interp(wl, row: int):
     """Uniform-grid linear interpolation (1 nm steps): direct index
     arithmetic instead of jnp.interp's binary search — the observer lookup
     sits on the per-ray hot path of detector binning, where searchsorted
-    costs ~50 ms per channel per megaray on TPU."""
-    wl = jnp.asarray(wl)
+    costs ~50 ms per channel per megaray on TPU. Host inputs evaluate in
+    numpy (ops/xp.py) so spectrum presets and scene building never touch
+    the device."""
+    from ..ops.xp import get_xp
+    xp = get_xp(wl)
+    wl = xp.asarray(wl)
     g = wl - _WL0
-    idx = jnp.floor(g)
+    idx = xp.floor(g)
     frac = g - idx
     n = _OBS_PAD.shape[1]
     # +1 accounts for the zero padding at the front
-    i0 = jnp.clip(idx.astype(jnp.int32) + 1, 0, n - 2)
-    table = jnp.asarray(_OBS_PAD[row])
+    i0 = xp.clip(idx.astype(xp.int32) + 1, 0, n - 2)
+    table = xp.asarray(_OBS_PAD[row])
     v0 = table[i0]
     v1 = table[i0 + 1]
     inside = (g >= 0) & (wl <= _WL1)
-    return jnp.where(inside, v0 * (1.0 - frac) + v1 * frac, 0.0)
+    return xp.where(inside, v0 * (1.0 - frac) + v1 * frac, 0.0)
 
 
 def x_observer(wl) -> jnp.ndarray:

@@ -54,21 +54,27 @@ _M_XYZ_TO_RGB = [[3.2404542, -1.5371385, -0.4985314],
 # gamma
 
 def srgb_to_srgb_linear(rgb: jnp.ndarray) -> jnp.ndarray:
-    """Remove sRGB gamma (IEC 61966-2-1 EOTF). Odd-extended to negatives."""
-    rgb = jnp.asarray(rgb)
+    """Remove sRGB gamma (IEC 61966-2-1 EOTF). Odd-extended to negatives.
+    Host inputs evaluate in numpy (ops/xp.py)."""
+    from ..ops.xp import get_xp
+    xp = get_xp(rgb)
+    rgb = xp.asarray(rgb)
     a = 0.055
-    absr = jnp.abs(rgb)
-    lin = jnp.sign(rgb) * ((absr + a) / (1 + a)) ** 2.4
-    return jnp.where(absr <= 0.04045, rgb / 12.92, lin)
+    absr = xp.abs(rgb)
+    lin = xp.sign(rgb) * ((absr + a) / (1 + a)) ** 2.4
+    return xp.where(absr <= 0.04045, rgb / 12.92, lin)
 
 
 def srgb_linear_to_srgb(rgbl: jnp.ndarray) -> jnp.ndarray:
-    """Apply sRGB gamma (inverse EOTF). Odd-extended to negatives."""
-    rgbl = jnp.asarray(rgbl)
+    """Apply sRGB gamma (inverse EOTF). Odd-extended to negatives.
+    Host inputs evaluate in numpy (ops/xp.py)."""
+    from ..ops.xp import get_xp
+    xp = get_xp(rgbl)
+    rgbl = xp.asarray(rgbl)
     a = 0.055
-    absr = jnp.abs(rgbl)
-    enc = jnp.sign(rgbl) * ((1 + a) * jnp.maximum(absr, 1e-30) ** (1 / 2.4) - a)
-    return jnp.where(absr <= 0.0031308, 12.92 * rgbl, enc)
+    absr = xp.abs(rgbl)
+    enc = xp.sign(rgbl) * ((1 + a) * xp.maximum(absr, 1e-30) ** (1 / 2.4) - a)
+    return xp.where(absr <= 0.0031308, 12.92 * rgbl, enc)
 
 
 # ----------------------------------------------------------------------
@@ -272,36 +278,44 @@ def log_srgb(img: jnp.ndarray) -> jnp.ndarray:
 # synthetic sRGB primary spectra
 
 def _gauss(x, mu, sig):
-    return 1.0 / (sig * jnp.sqrt(2 * jnp.pi)) * jnp.exp(-0.5 * ((x - mu) / sig) ** 2)
+    from ..ops.xp import get_xp
+    xp = get_xp(x)
+    return 1.0 / (sig * xp.sqrt(2 * xp.pi)) * xp.exp(-0.5 * ((x - mu) / sig) ** 2)
 
 
 def srgb_r_primary(wl) -> jnp.ndarray:
     """Synthetic spectrum with exactly the sRGB red primary xyY coordinates
     (Gaussian mixture, constants fitted in the reference, srgb.py:469-480)."""
-    wl = jnp.asarray(wl)
+    from ..ops.xp import get_xp
+    xp = get_xp(wl)
+    wl = xp.asarray(wl)
     rs = 0.951190393
     r = 75.1660756583 * rs * (_gauss(wl, 639.854491, 30.0)
                               + 0.0500907584 * _gauss(wl, 418.905848, 80.6220465))
     m = (wl >= tools.WL_MIN0) & (wl <= tools.WL_MAX0)
-    return jnp.where(m, r, 0.0)
+    return xp.where(m, r, 0.0)
 
 
 def srgb_g_primary(wl) -> jnp.ndarray:
     """Synthetic sRGB green primary spectrum (reference srgb.py:483-494)."""
-    wl = jnp.asarray(wl)
+    from ..ops.xp import get_xp
+    xp = get_xp(wl)
+    wl = xp.asarray(wl)
     g = 83.4999222966 * _gauss(wl, 539.13108974, 33.31164968)
     m = (wl >= tools.WL_MIN0) & (wl <= tools.WL_MAX0)
-    return jnp.where(m, g, 0.0)
+    return xp.where(m, g, 0.0)
 
 
 def srgb_b_primary(wl) -> jnp.ndarray:
     """Synthetic sRGB blue primary spectrum (reference srgb.py:497-508)."""
-    wl = jnp.asarray(wl)
+    from ..ops.xp import get_xp
+    xp = get_xp(wl)
+    wl = xp.asarray(wl)
     bs = 1.16364585503
     b = 47.99521746361 * bs * (_gauss(wl, 454.833119, 20.1460206)
                                + 0.184484176 * _gauss(wl, 459.658190, 71.0927568))
     m = (wl >= tools.WL_MIN0) & (wl <= tools.WL_MAX0)
-    return jnp.where(m, b, 0.0)
+    return xp.where(m, b, 0.0)
 
 
 def random_wavelengths_from_srgb(key, rgb: jnp.ndarray) -> jnp.ndarray:
@@ -356,9 +370,11 @@ def random_wavelengths_from_srgb(key, rgb: jnp.ndarray) -> jnp.ndarray:
 def power_from_srgb_linear(rgbl: jnp.ndarray) -> jnp.ndarray:
     """Radiant-power measure of linear-sRGB pixels under the synthetic
     primaries (reference srgb.py:556-565)."""
-    rgbl = jnp.asarray(rgbl)
-    w = jnp.asarray(SRGB_PRIMARY_POWER_FACTORS, rgbl.dtype)
-    return jnp.einsum("...c,c->...", rgbl, w)
+    from ..ops.xp import get_xp
+    xp = get_xp(rgbl)
+    rgbl = xp.asarray(rgbl)
+    w = xp.asarray(SRGB_PRIMARY_POWER_FACTORS, rgbl.dtype)
+    return xp.einsum("...c,c->...", rgbl, w)
 
 
 # ----------------------------------------------------------------------

@@ -3,6 +3,7 @@
 Parity with reference ``optrace/tracer/color/tools.py:7-59``.
 """
 
+import numpy as np
 import jax.numpy as jnp
 import scipy.constants
 
@@ -12,10 +13,12 @@ WL_MIN0: float = 380.0   #: lower bound of the visible range used for color feat
 WL_MAX0: float = 780.0   #: upper bound of the visible range used for color features
 
 
-def wavelengths(N: int) -> jnp.ndarray:
-    """N equally spaced wavelengths spanning ``global_options.wavelength_range``."""
+def wavelengths(N: int) -> np.ndarray:
+    """N equally spaced wavelengths spanning ``global_options.wavelength_range``.
+    Returned as a host numpy array: inside jit it becomes a compile-time
+    constant, outside it avoids device dispatches during scene building."""
     lo, hi = global_options.wavelength_range
-    return jnp.linspace(lo, hi, N)
+    return np.linspace(lo, hi, N)
 
 
 def blackbody(wl, T: float = 6504.0) -> jnp.ndarray:

@@ -66,7 +66,7 @@ class RaySource(Element):
             self._pIf = If / If.sum()
             sRGBL_mean = np.mean(sRGBL, axis=(0, 1))
             self._mean_img_color = np.asarray(
-                color.srgb_linear_to_srgb(jnp.asarray(sRGBL_mean)[None, None, :]))[0, 0]
+                color.srgb_linear_to_srgb(np.asarray(sRGBL_mean)[None, None, :]))[0, 0]
         elif isinstance(surface, GrayscaleImage):
             if surface.shape[0] * surface.shape[1] > self._max_image_px:
                 raise RuntimeError(f"Image has more than {self._max_image_px:.0f} pixels.")

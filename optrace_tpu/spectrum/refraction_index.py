@@ -31,15 +31,30 @@ COEFF_COUNT = {"Cauchy": 4, "Conrady": 3, "Sellmeier1": 6, "Sellmeier2": 5, "Sel
 """number of coefficients per dispersion model"""
 
 
+def _is_device(*vals) -> bool:
+    """True when any input is a jax array/tracer — then evaluation must
+    stay in jnp (traceable/differentiable). Plain numpy/python inputs are
+    evaluated with host numpy in f64: scene building, catalog loading and
+    TMA make thousands of tiny index evaluations, and device dispatches
+    through the remote-TPU tunnel (~20 ms each, plus one XLA compile per
+    distinct shape) would dominate the wall time (measured 326 s for the
+    benchmark microscope build before this split; ~5 s after)."""
+    return any(isinstance(v, (jax.Array, jax.core.Tracer)) for v in vals)
+
+
 def eval_dispersion(n_type: str, coeff, wl) -> jnp.ndarray:
     """Evaluate a coefficient-based dispersion model at wavelengths wl (nm).
 
-    Pure jnp; ``coeff`` may be a traced array for gradients w.r.t. material
-    parameters. Formula set follows the standard optical-glass-catalog
-    models (same family the reference implements, refraction_index.py:62-169).
+    ``coeff`` may be a traced array for gradients w.r.t. material
+    parameters; with host inputs the evaluation runs in numpy f64 (see
+    :func:`_is_device`). Formula set follows the standard
+    optical-glass-catalog models (same family the reference implements,
+    refraction_index.py:62-169).
     """
-    wl_ = jnp.asarray(wl)
-    c = [coeff[i] for i in range(COEFF_COUNT[n_type])] if not isinstance(coeff, (list, tuple)) else list(coeff)
+    c_list = [coeff[i] for i in range(COEFF_COUNT[n_type])] if not isinstance(coeff, (list, tuple)) else list(coeff)
+    xp = jnp if _is_device(wl, *c_list) else np
+    wl_ = xp.asarray(wl)
+    c = c_list
     l2 = (wl_ * 1e-3) ** 2    # λ² in µm²
 
     if n_type == "Conrady":
@@ -48,34 +63,34 @@ def eval_dispersion(n_type: str, coeff, wl) -> jnp.ndarray:
     if n_type == "Cauchy":
         return c[0] + c[1] / l2 + c[2] / l2 ** 2 + c[3] / l2 ** 3
     if n_type == "Sellmeier1":
-        return jnp.sqrt(1 + c[0] * l2 / (l2 - c[1]) + c[2] * l2 / (l2 - c[3]) + c[4] * l2 / (l2 - c[5]))
+        return xp.sqrt(1 + c[0] * l2 / (l2 - c[1]) + c[2] * l2 / (l2 - c[3]) + c[4] * l2 / (l2 - c[5]))
     if n_type == "Sellmeier2":
-        return jnp.sqrt(1 + c[0] + c[1] * l2 / (l2 - c[2] ** 2) + c[3] / (l2 - c[4] ** 2))
+        return xp.sqrt(1 + c[0] + c[1] * l2 / (l2 - c[2] ** 2) + c[3] / (l2 - c[4] ** 2))
     if n_type == "Sellmeier3":
-        return jnp.sqrt(1 + c[0] * l2 / (l2 - c[1]) + c[2] * l2 / (l2 - c[3])
+        return xp.sqrt(1 + c[0] * l2 / (l2 - c[1]) + c[2] * l2 / (l2 - c[3])
                         + c[4] * l2 / (l2 - c[5]) + c[6] * l2 / (l2 - c[7]))
     if n_type == "Sellmeier4":
-        return jnp.sqrt(c[0] + c[1] * l2 / (l2 - c[2]) + c[3] * l2 / (l2 - c[4]))
+        return xp.sqrt(c[0] + c[1] * l2 / (l2 - c[2]) + c[3] * l2 / (l2 - c[4]))
     if n_type == "Sellmeier5":
-        return jnp.sqrt(1 + c[0] * l2 / (l2 - c[1]) + c[2] * l2 / (l2 - c[3]) + c[4] * l2 / (l2 - c[5])
+        return xp.sqrt(1 + c[0] * l2 / (l2 - c[1]) + c[2] * l2 / (l2 - c[3]) + c[4] * l2 / (l2 - c[5])
                         + c[6] * l2 / (l2 - c[7]) + c[8] * l2 / (l2 - c[9]))
     if n_type == "Schott":
-        return jnp.sqrt(c[0] + c[1] * l2 + c[2] / l2 + c[3] / l2 ** 2 + c[4] / l2 ** 3 + c[5] / l2 ** 4)
+        return xp.sqrt(c[0] + c[1] * l2 + c[2] / l2 + c[3] / l2 ** 2 + c[4] / l2 ** 3 + c[5] / l2 ** 4)
     if n_type == "Herzberger":
         L = 1 / (l2 - 0.028)
         return c[0] + c[1] * L + c[2] * L ** 2 + c[3] * l2 + c[4] * l2 ** 2 + c[5] * l2 ** 3
     if n_type == "Handbook of Optics 1":
-        return jnp.sqrt(c[0] + c[1] / (l2 - c[2]) - c[3] * l2)
+        return xp.sqrt(c[0] + c[1] / (l2 - c[2]) - c[3] * l2)
     if n_type == "Handbook of Optics 2":
-        return jnp.sqrt(c[0] + c[1] * l2 / (l2 - c[2]) - c[3] * l2)
+        return xp.sqrt(c[0] + c[1] * l2 / (l2 - c[2]) - c[3] * l2)
     if n_type == "Extended":
-        return jnp.sqrt(c[0] + c[1] * l2 + c[2] / l2 + c[3] / l2 ** 2 + c[4] / l2 ** 3
+        return xp.sqrt(c[0] + c[1] * l2 + c[2] / l2 + c[3] / l2 ** 2 + c[4] / l2 ** 3
                         + c[5] / l2 ** 4 + c[6] / l2 ** 5 + c[7] / l2 ** 6)
     if n_type == "Extended2":
-        return jnp.sqrt(c[0] + c[1] * l2 + c[2] / l2 + c[3] / l2 ** 2 + c[4] / l2 ** 3
+        return xp.sqrt(c[0] + c[1] * l2 + c[2] / l2 + c[3] / l2 ** 2 + c[4] / l2 ** 3
                         + c[5] / l2 ** 4 + c[6] * l2 ** 2 + c[7] * l2 ** 3)
     if n_type == "Extended3":
-        return jnp.sqrt(c[0] + c[1] * l2 + c[2] * l2 ** 2 + c[3] / l2 + c[4] / l2 ** 2
+        return xp.sqrt(c[0] + c[1] * l2 + c[2] * l2 ** 2 + c[3] / l2 + c[4] / l2 ** 2
                         + c[5] / l2 ** 3 + c[6] * l2 ** 4 + c[7] * l2 ** 5 + c[8] / l2 ** 6)
     raise ValueError(f"Unknown dispersion model '{n_type}'.")
 
@@ -84,8 +99,9 @@ def eval_abbe(n_center: float, V: float, lines, wl) -> jnp.ndarray:
     """Estimated index curve from center index and Abbe number V: a
     two-term model n = A + B/(λ²−d), d between Cauchy (0) and Herzberger
     (0.028) (reference refraction_index.py:85-100)."""
-    wl_ = jnp.asarray(wl)
-    l = 1e-3 * jnp.asarray(lines)
+    xp = jnp if _is_device(wl, n_center, V) else np
+    wl_ = xp.asarray(wl)
+    l = 1e-3 * xp.asarray(lines)
     d = 0.014
     l2 = (wl_ * 1e-3) ** 2
     B = (n_center - 1) / V / (1 / (l[0] ** 2 - d) - 1 / (l[2] ** 2 - d))
@@ -116,8 +132,11 @@ class RefractionIndex(Spectrum):
 
     # ------------------------------------------------------------------
     def __call__(self, wl) -> jnp.ndarray:
-        """Refractive index at wavelengths wl (nm). Traceable."""
-        wl_ = jnp.asarray(wl)
+        """Refractive index at wavelengths wl (nm). Traceable with jax
+        inputs; host inputs evaluate in numpy f64 (see _is_device)."""
+        on_device = _is_device(wl)
+        xp = jnp if on_device else np
+        wl_ = xp.asarray(wl)
         st = self.spectrum_type
 
         if st not in ("Constant", "Data", "Function", "Abbe") and self.coeff is None:
@@ -126,20 +145,23 @@ class RefractionIndex(Spectrum):
         if st == "Abbe":
             ns = eval_abbe(self.val, self.V, self.lines, wl_)
         elif st == "Constant":
-            ns = jnp.broadcast_to(jnp.asarray(self.val, wl_.dtype), wl_.shape)
+            ns = xp.broadcast_to(xp.asarray(self.val, wl_.dtype), wl_.shape)
         elif st == "Data":
             if not isinstance(wl_, jax.core.Tracer):
-                wlmin, wlmax = float(jnp.min(wl_)), float(jnp.max(wl_))
+                wlmin, wlmax = float(np.min(np.asarray(wl_))), float(np.max(np.asarray(wl_)))
                 if wlmin < self._wls[0] or wlmax > self._wls[-1]:
                     raise RuntimeError(f"Wavelength range [{wlmin:.5g}, {wlmax:.5g}] larger than data "
                                        f"range [{self._wls[0]}, {self._wls[-1]}] for this material.")
-            # clamp instead of extrapolating (outside access already rejected
-            # above); uniform wls grid → index-arithmetic interp
-            from ..ops.interp import uniform_interp
-            v = jnp.asarray(self._vals)
-            ns = uniform_interp(wl_, v, float(self._wls[0]),
-                                float(self._wls[1] - self._wls[0]),
-                                left=v[0], right=v[-1])
+            if on_device:
+                # clamp instead of extrapolating (outside access already
+                # rejected above); uniform wls grid → index-arithmetic interp
+                from ..ops.interp import uniform_interp
+                v = jnp.asarray(self._vals)
+                ns = uniform_interp(wl_, v, float(self._wls[0]),
+                                    float(self._wls[1] - self._wls[0]),
+                                    left=v[0], right=v[-1])
+            else:
+                ns = np.interp(wl_, self._wls, self._vals)
         elif st == "Function":
             pc.check_callable("RefractionIndex.func", self.func)
             ns = jnp.asarray(self.func(wl_, **self.func_args))
@@ -159,7 +181,7 @@ class RefractionIndex(Spectrum):
     def abbe_number(self, lines: list = None) -> float:
         """Abbe number V = (n_center − 1)/(n_short − n_long)."""
         lines = lines if lines is not None else self.lines
-        n = np.asarray(self(jnp.asarray(lines, dtype=jnp.float64 if jax.config.x64_enabled else jnp.float32)))
+        n = np.asarray(self(np.asarray(lines, dtype=np.float64)))
         ns, nc, nl = float(n[0]), float(n[1]), float(n[2])
         return float((nc - 1) / (ns - nl)) if ns != nl else float(np.inf)
 

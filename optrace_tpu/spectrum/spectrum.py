@@ -70,15 +70,20 @@ class Spectrum(BaseClass):
         if not self.is_continuous():
             raise RuntimeError(f"Can't call discontinuous spectrum_type '{self.spectrum_type}'")
 
-        wl_ = jnp.asarray(wl)
+        from ..ops.xp import get_xp, is_device
+        xp = get_xp(wl)
+        wl_ = xp.asarray(wl)
         st = self.spectrum_type
 
         if st == "Constant":
-            return jnp.broadcast_to(jnp.asarray(self.val, wl_.dtype), wl_.shape)
+            return xp.broadcast_to(xp.asarray(self.val, wl_.dtype), wl_.shape)
 
         if st == "Data":
             pc.check_type("Spectrum.wls", self._wls, (np.ndarray, list))
             pc.check_type("Spectrum.vals", self._vals, (np.ndarray, list))
+            if not is_device(wl):
+                return np.interp(wl_, np.asarray(self._wls), np.asarray(self._vals),
+                                 left=0.0, right=0.0)
             # wls validation enforces a uniform grid → index-arithmetic interp
             from ..ops.interp import uniform_interp
             return uniform_interp(wl_, jnp.asarray(self._vals),
@@ -87,14 +92,14 @@ class Spectrum(BaseClass):
 
         if st == "Rectangle":
             inside = (self.wl0 <= wl_) & (wl_ <= self.wl1)
-            return jnp.where(inside, self.val, 0.0)
+            return xp.where(inside, self.val, 0.0)
 
         if st == "Gaussian":
-            return self.val * jnp.exp(-(wl_ - self.mu) ** 2 / (2 * self.sig ** 2))
+            return self.val * xp.exp(-(wl_ - self.mu) ** 2 / (2 * self.sig ** 2))
 
         if st == "Function":
             pc.check_callable("Spectrum.func", self.func)
-            return jnp.asarray(self.func(wl_, **self.func_args))
+            return xp.asarray(self.func(wl_, **self.func_args))
 
         raise RuntimeError(f"Unhandled spectrum_type '{st}'.")  # pragma: no cover
 
