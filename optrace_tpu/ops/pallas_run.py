@@ -1,0 +1,304 @@
+"""Whole-conic-run Pallas kernel: all surfaces of a scanned refract run in
+ONE kernel pass, ray state resident in VMEM.
+
+The XLA scan path (`tracer/trace_core.py:_conic_scan`) executes one
+per-surface body per scan iteration; every iteration streams the ray state
+and its intermediates through HBM across the body's fusion groups
+(measured ~2.8 ms/surface at 10⁶ rays — ~30 array passes per step). This
+kernel instead tiles the rays into VMEM blocks and loops over ALL L
+surfaces of the run inside the kernel, so the state (p, s, w components)
+stays on-chip for the whole run and HBM traffic drops to: state in+out,
+the per-step media rows, and the per-step stored sections — the
+information-theoretic minimum for the stored-trace contract
+(~1.5 kB/ray for a 53-surface run instead of ~100 kB/ray).
+
+Per-surface parameters (conic rho/k, aperture radius, z-range, frame
+delta, outline box) are embedded as static python constants in the
+unrolled step loop — which is also why this path only runs when the scene
+parameters are concrete: the differentiable-design path (traced surface
+parameters) keeps the XLA scan. Physics is the component form of the same
+shared kernels (`ops/geom.py` hit_conic/clamp_abnormal/normal_conic,
+`tracer/trace_core.py` _refract_core/_outline_intersection) — equivalence
+is pinned by tests/test_pallas_run.py against the XLA scan.
+
+Enabled with ``global_options.pallas_trace = True`` (off by default until
+the head-to-head on the target hardware favors it; bench.py reports both).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .geom import N_EPS, C_EPS, ADVANCE_STANDOFF
+
+LANE = 128
+TILE_ROWS = int(__import__("os").environ.get("OPTRACE_TPU_PALLAS_TILE_ROWS", "32"))
+# f32 min tile is (8, 128); TILE_ROWS*LANE rays per grid program — the
+# env override exists for on-device tuning (tools/ probes)
+INV_SQRT2_SQ = 0.5     # A_ts² = A_tp² = ½ in the no-pol path
+
+
+def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c):
+    """One refract step on component blocks; ``c`` is the static per-step
+    constant dict. Returns new state + (miss, tir, outline) count blocks."""
+    hw = w > 0
+
+    # --- frame shift into this surface's vertex frame ------------------
+    if c["dx"] != 0.0:
+        px = px - c["dx"]
+    if c["dy"] != 0.0:
+        py = py - c["dy"]
+    if c["dz"] != 0.0:
+        pz = pz - c["dz"]
+    ppx, ppy, ppz, w_prev = px, py, pz, w
+
+    if c["is_flat"]:
+        # plane z=0 hit (geom.hit_plane + flat clamp semantics)
+        sz_ok = sz != 0
+        t = -pz / jnp.where(sz_ok, sz, 1.0)
+        valid = sz_ok & (t >= -C_EPS)
+        t_safe = jnp.where(valid, t, 0.0)
+        ok = valid
+    else:
+        # --- standoff advance (geom.advance_to_standoff) ---------------
+        ok_adv = hw & (sz != 0)
+        t0 = (c["z_min"] - ADVANCE_STANDOFF - pz) / jnp.where(ok_adv, sz, 1.0)
+        adv = ok_adv & (t0 > 0)
+        px = jnp.where(adv, px + t0 * sx, px)
+        py = jnp.where(adv, py + t0 * sy, py)
+        pz = jnp.where(adv, pz + t0 * sz, pz)
+
+        # --- conic root (geom.hit_conic: Citardauq + Newton polish) ----
+        rho, k = c["rho"], c["k"]
+        A = 1.0 + k * sz * sz
+        B = sx * px + sy * py + sz * (pz * (k + 1.0) - 1.0 / rho)
+        C = px * px + py * py + pz * (pz * (k + 1.0) - 2.0 / rho)
+        disc = B * B - C * A
+        has_root = disc >= 0.0
+        D = jnp.sqrt(jnp.where(has_root, disc, 1.0))
+        D = jnp.where(has_root, D, 0.0)
+        sgnB = jnp.where(B >= 0, 1.0, -1.0)
+        q = -(B + sgnB * D)
+        okA = jnp.abs(A) > N_EPS
+        okq = jnp.abs(q) > N_EPS
+        t1 = jnp.where(okA, q / jnp.where(okA, A, 1.0), jnp.inf)
+        t2 = jnp.where(okq, C / jnp.where(okq, q, 1.0), jnp.inf)
+        t_lin = -C / (2.0 * jnp.where(jnp.abs(B) > N_EPS, B, 1.0))
+        lin = ~okA & (jnp.abs(B) > N_EPS)
+        t1 = jnp.where(lin, t_lin, t1)
+        t2 = jnp.where(lin, t_lin, t2)
+
+        z1 = pz + sz * t1
+        z2 = pz + sz * t2
+        lo, hi = c["z_min"] - N_EPS, c["z_max"] + N_EPS
+        fw = pz - C_EPS
+        ok1 = (lo <= z1) & (z1 <= hi) & (z1 >= fw) & jnp.isfinite(t1)
+        ok2 = (lo <= z2) & (z2 <= hi) & (z2 >= fw) & jnp.isfinite(t2)
+        use1 = ok1 & ~(ok2 & (t2 < t1))
+        t = jnp.where(use1, t1, t2)
+        z_sel = jnp.where(use1, z1, z2)
+        in_range = (lo <= z_sel) & (z_sel <= hi) & jnp.isfinite(t)
+        valid = has_root & in_range & ~(lin & (jnp.abs(B) <= N_EPS))
+
+        Qp = 2.0 * (A * t + B)
+        Qv = (A * t + 2.0 * B) * t + C
+        scale = jnp.abs(A * t) + jnp.abs(B)
+        okp = valid & (jnp.abs(Qp) > 1e-5 * scale + N_EPS) & jnp.isfinite(t)
+        stp = jnp.clip(Qv / jnp.where(okp, Qp, 1.0), -1e-3, 1e-3)
+        t_pol = t - stp
+        z_pol = pz + sz * t_pol
+        okp = okp & (lo <= z_pol) & (z_pol <= hi)
+        t = jnp.where(okp, t_pol, t)
+
+        # --- clamp abnormal (geom.clamp_abnormal) ----------------------
+        t_fin = jnp.isfinite(t)
+        t_safe = jnp.where(t_fin, t, 0.0)
+        z_hit = pz + t_safe * sz
+        beh = pz > c["z_max"] + C_EPS
+        neg = z_hit < pz - C_EPS
+        bad = ~valid | neg | ~t_fin
+        sz_ok = sz != 0
+        t_zmax = jnp.where(sz_ok, (c["z_max"] - pz) / jnp.where(sz_ok, sz, 1.0), 0.0)
+        t_safe = jnp.where(bad & ~beh, t_zmax, t_safe)
+        t_safe = jnp.where(beh, 0.0, t_safe)
+        ok = ~(bad | beh)
+
+    hx = px + t_safe * sx
+    hy = py + t_safe * sy
+    hz = pz + t_safe * sz
+    r_ap = c["r"]
+    hit = (hx * hx + hy * hy <= (r_ap + N_EPS) ** 2) & ok & hw
+    px = jnp.where(hw, hx, px)
+    py = jnp.where(hw, hy, py)
+    pz = jnp.where(hw, hz, pz)
+
+    miss = hw & ~hit
+    w = jnp.where(miss, 0.0, w)
+
+    # --- normal (geom.normal_conic / flat) -----------------------------
+    if c["is_flat"]:
+        nx = jnp.zeros_like(px)
+        ny = jnp.zeros_like(px)
+        nz = jnp.ones_like(px)
+    else:
+        rho, k = c["rho"], c["k"]
+        r2 = px * px + py * py
+        arg = 1.0 - k * rho * rho * r2
+        den = jnp.sqrt(jnp.where(arg > N_EPS, arg, N_EPS))
+        nx = -rho * px / den
+        ny = -rho * py / den
+        argz = 1.0 - (nx * nx + ny * ny)
+        nz = jnp.sqrt(jnp.where(argz > N_EPS, argz, N_EPS))
+
+    # --- Snell + Fresnel, no-pol (trace_core._refract_core) ------------
+    ns = nx * sx + ny * sy + nz * sz
+    graze = ns < 1e-6
+    ns_safe = jnp.where(graze, 1.0, ns)
+    Nq = n1 / n2
+    W2 = 1.0 - Nq * Nq * (1.0 - ns * ns)
+    tir = W2 < 0.0
+    W = jnp.sqrt(jnp.where(tir, 1.0, W2))
+    W = jnp.where(tir, 0.0, W)
+    f = Nq * ns - W
+    sx_ = sx * Nq - nx * f
+    sy_ = sy * Nq - ny * f
+    sz_ = sz * Nq - nz * f
+
+    upd = hit & ~tir
+    n1ca = n1 * ns_safe
+    n2cb = n2 * W
+    ts = 2.0 * n1ca / (n1ca + n2cb)
+    tp = 2.0 * n1ca / (n2 * ns_safe + n1 * W)
+    T = n2cb / n1ca * INV_SQRT2_SQ * (ts * ts + tp * tp)
+    T = jnp.where(tir | graze, 0.0, T)
+
+    w = jnp.where(hit, w * T, w)
+    n_tir = tir & hit
+    sx = jnp.where(upd, sx_, sx)
+    sy = jnp.where(upd, sy_, sy)
+    sz = jnp.where(upd, sz_, sz)
+
+    # --- outline box (trace_core._outline_intersection) ----------------
+    xs, xe, ys, ye, zs, ze = c["out"]
+    inside = (xs < px) & (px < xe) & (ys < py) & (py < ye) \
+        & (zs < pz) & (pz < ze)
+    outl = ~inside & (w > 0)
+    tmin = jnp.full_like(px, jnp.inf)
+    for pc, sc, lo_b, hi_b in ((ppx, sx, xs, xe), (ppy, sy, ys, ye),
+                               (ppz, sz, zs, ze)):
+        okd = sc != 0
+        den = jnp.where(okd, sc, 1.0)
+        for bound in (lo_b, hi_b):
+            tb = (bound - pc) / den
+            tmin = jnp.where(okd & (tb > 0) & (tb < tmin), tb, tmin)
+    tmin = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
+    px = jnp.where(outl, ppx + tmin * sx, px)
+    py = jnp.where(outl, ppy + tmin * sy, py)
+    pz = jnp.where(outl, ppz + tmin * sz, pz)
+    w = jnp.where(outl, 0.0, w)
+
+    return (px, py, pz, sx, sy, sz, w), (miss, n_tir, outl)
+
+
+def _make_kernel(consts, store):
+    L = len(consts)
+
+    def kernel(px_r, py_r, pz_r, sx_r, sy_r, sz_r, w_r, med_r,
+               opx, opy, opz, osx, osy, osz, ow, cnt_r, *ys_refs):
+        st = (px_r[:], py_r[:], pz_r[:], sx_r[:], sy_r[:], sz_r[:], w_r[:])
+        cnt_rows = []
+        for j, c in enumerate(consts):
+            n1 = med_r[j, 0]
+            n2 = med_r[j, 1]
+            st, (miss, tirb, outb) = _one_step(*st, n1, n2, c)
+            cnt_rows.append(jnp.stack([
+                jnp.sum(miss.astype(jnp.float32)),
+                jnp.sum(tirb.astype(jnp.float32)),
+                jnp.sum(outb.astype(jnp.float32)),
+                jnp.float32(0.0)]))
+            if store:
+                yp_x, yp_y, yp_z, yw = ys_refs
+                # sections are emitted in ABSOLUTE coordinates
+                yp_x[j] = st[0] + c["ox"]
+                yp_y[j] = st[1] + c["oy"]
+                yp_z[j] = st[2] + c["oz"]
+                yw[j] = st[6]
+        cnt_r[0] = jnp.stack(cnt_rows)                     # (L, 4)
+        for ref, val in zip((opx, opy, opz, osx, osy, osz, ow), st):
+            ref[:] = val
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("consts", "store", "interpret"))
+def conic_run_pallas(p, s, w, med, *, consts, store=True, interpret=False):
+    """Run L consecutive conic/flat refract steps as one Pallas kernel.
+
+    :param p, s: (N, 3) ray positions (in the frame BEFORE the first
+        step's delta shift) and directions
+    :param w: (N,) weights
+    :param med: (L, 2, N) per-step (n1, n2) media value rows
+    :param consts: tuple of L per-step constant dicts (hashable: tuple of
+        (key, value) pairs), each with rho, k, r, z_min, z_max, is_flat,
+        dx/dy/dz frame delta, ox/oy/oz applied origin, out (6 rel bounds)
+    :param store: also return per-step absolute positions and weights
+    :return: (p', s', w'), (counts (L, 3) int32, ys_p (L, N, 3) or None,
+        ys_w (L, N) or None)
+    """
+    consts = tuple(dict(c) for c in consts)
+    L = len(consts)
+    N = p.shape[0]
+    dt = p.dtype
+    blk = TILE_ROWS * LANE
+    G = -(-N // blk)
+    Np = G * blk
+    R = Np // LANE
+
+    def comp(a, fill=0.0):
+        out = jnp.full((Np,), fill, dt).at[:N].set(a.astype(dt))
+        return out.reshape(R, LANE)
+
+    comps = [comp(p[:, 0]), comp(p[:, 1]), comp(p[:, 2]),
+             comp(s[:, 0]), comp(s[:, 1]), comp(s[:, 2], fill=1.0),
+             comp(w)]
+    med_p = jnp.zeros((L, 2, Np), dt).at[:, :, :N].set(med.astype(dt)) \
+        .reshape(L, 2, R, LANE)
+
+    state_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    med_spec = pl.BlockSpec((L, 2, TILE_ROWS, LANE), lambda i: (0, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+    cnt_spec = pl.BlockSpec((1, L, 4), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    ys_spec = pl.BlockSpec((L, TILE_ROWS, LANE), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+
+    out_specs = [state_spec] * 7 + [cnt_spec]
+    out_shape = [jax.ShapeDtypeStruct((R, LANE), dt)] * 7 \
+        + [jax.ShapeDtypeStruct((G, L, 4), jnp.float32)]
+    if store:
+        out_specs += [ys_spec] * 4
+        out_shape += [jax.ShapeDtypeStruct((L, R, LANE), dt)] * 4
+
+    out = pl.pallas_call(
+        _make_kernel(consts, store),
+        grid=(G,),
+        in_specs=[state_spec] * 7 + [med_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*comps, med_p)
+
+    flat = [o.reshape(Np)[:N] for o in out[:7]]
+    p_new = jnp.stack(flat[0:3], axis=-1)
+    s_new = jnp.stack(flat[3:6], axis=-1)
+    counts = jnp.sum(out[7], axis=0)[:, :3].astype(jnp.int32)   # (L, 3)
+    if not store:
+        return (p_new, s_new, flat[6]), (counts, None, None)
+    ys = [o.reshape(L, Np)[:, :N] for o in out[8:12]]
+    ys_p = jnp.stack(ys[0:3], axis=-1)                          # (L, N, 3)
+    return (p_new, s_new, flat[6]), (counts, ys_p, ys[3])

@@ -98,23 +98,27 @@ def _compute_polarization(s, s_, pols, upd, no_pol):
 
 def _outline_intersection(p_prev, p_new, s, w, outline):
     """Kill rays leaving the outline box; intersect them with the box
-    (reference :666-718). Returns (p_out, w_out, count)."""
+    (reference :666-718). Returns (p_out, w_out, count).
+
+    Component-wise running minimum over the 6 plane parameters — no
+    (N, 6) stack/repeat materializations; this sits in the per-surface
+    scan body where every extra (N, k) buffer is an HBM round trip
+    (measured 21 ms of the 160 ms benchmark trace before this form)."""
     xs, xe, ys, ye, zs, ze = [outline[i] for i in range(6)]
     x, y, z = p_new[:, 0], p_new[:, 1], p_new[:, 2]
     inside = (xs < x) & (x < xe) & (ys < y) & (y < ye) & (zs < z) & (z < ze)
     out = ~inside & (w > 0)
 
     # smallest positive t to any of the 6 box planes, from the previous section
-    ol = jnp.stack([jnp.full_like(x, xs), jnp.full_like(x, xe),
-                    jnp.full_like(x, ys), jnp.full_like(x, ye),
-                    jnp.full_like(x, zs), jnp.full_like(x, ze)], axis=-1)
-    P6 = jnp.repeat(p_prev, 2, axis=-1)
-    S6 = jnp.repeat(s, 2, axis=-1)
-    # guard with 1.0 (not a tiny eps): 1/eps² overflows f32 in the VJP
-    valid_dir = S6 != 0
-    T = (ol - P6) / jnp.where(valid_dir, S6, 1.0)
-    T = jnp.where(valid_dir & (T > 0), T, jnp.inf)
-    t = jnp.min(T, axis=-1)
+    t = jnp.full_like(x, jnp.inf)
+    for axis, (lo, hi) in enumerate(((xs, xe), (ys, ye), (zs, ze))):
+        pc, sc = p_prev[:, axis], s[:, axis]
+        ok = sc != 0
+        # guard with 1.0 (not a tiny eps): 1/eps² overflows f32 in the VJP
+        den = jnp.where(ok, sc, 1.0)
+        for bound in (lo, hi):
+            tb = (bound - pc) / den
+            t = jnp.where(ok & (tb > 0) & (tb < t), tb, t)
     t = jnp.where(jnp.isfinite(t), t, 0.0)
 
     p_box = p_prev + t[:, None] * s
@@ -427,6 +431,86 @@ def _conic_scan(steps, idxs, chain, outline64, n_tab, pairs,
 
 
 # ----------------------------------------------------------------------
+# whole-run Pallas dispatch (ops/pallas_run.py)
+
+def _is_concrete(v) -> bool:
+    """True for any non-traced value (python/numpy scalars, concrete jax
+    arrays) — embedding them as kernel constants cannot sever a gradient."""
+    return not isinstance(v, jax.core.Tracer)
+
+
+def _pallas_interpret() -> bool:
+    """CPU interpreter mode for the whole-run kernel (parity tests)."""
+    import os
+    return bool(os.environ.get("OPTRACE_TPU_PALLAS_INTERPRET"))
+
+
+def _pallas_run_eligible(steps, idxs, no_pol, dtype) -> bool:
+    """The whole-run kernel applies to the no-pol f32 path with concrete
+    (non-traced) surface parameters on a TPU backend; everything else
+    keeps the XLA scan (differentiable-design path, f64, pol transport).
+    OPTRACE_TPU_PALLAS_INTERPRET=1 additionally enables the CPU
+    interpreter path for tests."""
+    from ..utils.global_options import global_options
+    if not global_options.pallas_trace or not no_pol or dtype != jnp.float32:
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:   # pragma: no cover
+        return False
+    if backend != "tpu" and not _pallas_interpret():
+        return False
+    for i in idxs:
+        for key in ("pos", "rho", "k", "r", "z_min_rel", "z_max_rel"):
+            v = steps[i].sfns.params.get(key)
+            if v is not None and not _is_concrete(v):
+                return False
+    return True
+
+
+def _conic_run_pallas_dispatch(steps, idxs, chain, outline64, n_tab, pairs,
+                               p, s, w, store_sections):
+    """Build the static per-step constants and media rows, call the
+    whole-run kernel, and reshape its outputs to the scan contract."""
+    from ..ops.pallas_run import conic_run_pallas
+
+    def f(v, default=0.0):
+        return float(np.asarray(v if v is not None else default).reshape(-1)[0])
+
+    consts = []
+    for i in idxs:
+        st = steps[i]
+        pr = st.sfns.params
+        pos_h, delta, origin = chain[i]
+        out_rel = tuple(float(outline64[q] - origin[q // 2]) for q in range(6))
+        consts.append(tuple(sorted(dict(
+            rho=f(pr.get("rho"), 1.0), k=f(pr.get("k"), 0.0),
+            r=f(pr.get("r"), 1.0),
+            z_min=f(pr.get("z_min_rel"), 0.0), z_max=f(pr.get("z_max_rel"), 0.0),
+            is_flat=bool(st.sfns.is_flat),
+            dx=float(delta[0]), dy=float(delta[1]), dz=float(delta[2]),
+            ox=float(origin[0]), oy=float(origin[1]), oz=float(origin[2]),
+            out=out_rel).items())))
+
+    idx_arr = jnp.asarray([[pairs[i][0], pairs[i][1]] for i in idxs],
+                          dtype=jnp.int32)
+    med = jnp.take(n_tab, idx_arr.reshape(-1), axis=0) \
+        .reshape(len(idxs), 2, n_tab.shape[1])
+
+    (p2, s2, w2), (counts, ys_p, ys_w) = conic_run_pallas(
+        p, s, w, med, consts=tuple(consts), store=store_sections,
+        interpret=_pallas_interpret())
+
+    # per-step (N_INFOS,) rows from the kernel's (L, 3) counters
+    L = len(idxs)
+    run_infos = jnp.zeros((L, N_INFOS), dtype=jnp.int32)
+    run_infos = run_infos.at[:, ABSORB_MISSING].set(counts[:, 0])
+    run_infos = run_infos.at[:, TIR].set(counts[:, 1])
+    run_infos = run_infos.at[:, OUTLINE_INTERSECTION].set(counts[:, 2])
+    return p2, s2, w2, run_infos, ys_p, ys_w
+
+
+# ----------------------------------------------------------------------
 # the trace
 
 def trace_bundle(steps: list, n0_fn: Callable, outline,
@@ -486,6 +570,19 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
 
     for run_kind, run_idxs in runs:
         if run_kind == "scan":
+            if _pallas_run_eligible(steps, run_idxs, no_pol, p.dtype):
+                p, s, w, run_infos, run_p, run_w = _conic_run_pallas_dispatch(
+                    steps, run_idxs, chain, outline64, n_tab, pairs,
+                    p, s, w, store_sections)
+                L = len(run_idxs)
+                infos.extend(run_infos[i] for i in range(L))
+                if store_sections:
+                    sections_p.extend(run_p[i] for i in range(L))
+                    sections_w.extend(run_w[i] for i in range(L))
+                    sections_pol.extend([pols] * L)   # no_pol only
+                    sections_n.extend(n_tab[pairs[i][1]] for i in run_idxs)
+                n_amb_last = n_tab[pairs[run_idxs[-1]][1]]
+                continue
             (p, s, pols, w), ys = _conic_scan(steps, run_idxs, chain, outline64,
                                               n_tab, pairs, p, s, pols, w,
                                               no_pol, store_sections)

@@ -28,6 +28,15 @@ class _GlobalOptions:
         self._float_dtype = "float32"
         self._mesh_axis_name: str = "rays"
         self._pallas_binning: bool = False
+        # The whole-run trace kernel (ops/pallas_run.py) is ON by default:
+        # eligibility (trace_core._pallas_run_eligible) already restricts it
+        # to the no-pol f32 TPU path with concrete surface parameters, and
+        # numeric parity vs the XLA scan is pinned on CPU-interpret AND on
+        # the TPU itself (tests/test_pallas_run.py; max |p| diff 5e-5 mm at
+        # 1e5 rays). OPTRACE_TPU_PALLAS_TRACE=0 disables from the env.
+        self._pallas_trace: bool = (
+            __import__("os").environ.get("OPTRACE_TPU_PALLAS_TRACE", "1")
+            not in ("0", "false", ""))
 
     # ------------------------------------------------------------------
     @property
@@ -122,6 +131,22 @@ class _GlobalOptions:
     def pallas_binning(self, val: bool) -> None:
         self._check_bool("pallas_binning", val)
         self._pallas_binning = val
+
+    @property
+    def pallas_trace(self) -> bool:
+        """Run scanned conic refract runs through the whole-run Pallas
+        kernel (ops/pallas_run.py): ray state stays in VMEM across all
+        surfaces of a run instead of streaming through HBM per surface
+        (measured 102 vs 160 ms stored / 80 ms no-store on the 57-surface
+        benchmark at 1e6 rays). Applies only to the no-pol f32 TPU path
+        with concrete (non-traced) surface parameters; other paths keep
+        the XLA scan. On by default; bench.py reports the comparison."""
+        return self._pallas_trace
+
+    @pallas_trace.setter
+    def pallas_trace(self, val: bool) -> None:
+        self._check_bool("pallas_trace", val)
+        self._pallas_trace = val
 
     @property
     def mesh_axis_name(self) -> str:
