@@ -131,7 +131,12 @@ class TestF32ErrorBudget:
         res = bench.RES
         with otr.global_options.no_warnings(), otr.global_options.no_progress_bar():
             RTr = otr.Raytracer(outline=[-50, 50, -50, 50, -30, 430], no_pol=True)
-            RSS = otr.presets.image.cell([100e-3, 100e-3])
+            # SAME pixel data on both sides (pure optics parity — the two
+            # packages ship different cell imagery, and the spot centroid
+            # depends on the image's brightness distribution)
+            cell_data = np.asarray(
+                ot.presets.image.cell([100e-3, 100e-3]).data, dtype=np.float64)
+            RSS = otr.RGBImage(cell_data.copy(), [100e-3, 100e-3])
             RTr.add(otr.RaySource(RSS, divergence="Lambertian",
                                   pos=[0, 0, -0.00000001], s=[0, 0, 1], div_angle=50))
             n_dict = {}
