@@ -468,11 +468,37 @@ def _pallas_run_eligible(steps, idxs, no_pol, dtype) -> bool:
     return True
 
 
+# Longest run per kernel launch: the in-kernel media block and stored-
+# section outputs scale linearly with L in VMEM (L=64 at TILE_ROWS=32 ≈
+# 3.3 MB media + 6.7 MB sections), so longer runs are chunked — the ray
+# state simply carries from one launch into the next.
+PALLAS_RUN_CHUNK = 64
+
+
 def _conic_run_pallas_dispatch(steps, idxs, chain, outline64, n_tab, pairs,
                                p, s, w, store_sections):
     """Build the static per-step constants and media rows, call the
-    whole-run kernel, and reshape its outputs to the scan contract."""
+    whole-run kernel (chunked to PALLAS_RUN_CHUNK steps per launch), and
+    reshape its outputs to the scan contract."""
     from ..ops.pallas_run import conic_run_pallas
+
+    if len(idxs) > PALLAS_RUN_CHUNK:
+        # thread the state through the chunks sequentially
+        out_infos, out_p, out_w = [], [], []
+        for i in range(0, len(idxs), PALLAS_RUN_CHUNK):
+            chunk = idxs[i:i + PALLAS_RUN_CHUNK]
+            p, s, w, ri, rp, rw = _conic_run_pallas_dispatch(
+                steps, chunk, chain, outline64, n_tab, pairs, p, s, w,
+                store_sections)
+            out_infos.append(ri)
+            if store_sections:
+                out_p.append(rp)
+                out_w.append(rw)
+        infos = jnp.concatenate(out_infos, axis=0)
+        if not store_sections:
+            return p, s, w, infos, None, None
+        return (p, s, w, infos, jnp.concatenate(out_p, axis=0),
+                jnp.concatenate(out_w, axis=0))
 
     def f(v, default=0.0):
         return float(np.asarray(v if v is not None else default).reshape(-1)[0])

@@ -97,3 +97,27 @@ def test_diff_path_keeps_xla_scan(interpret_mode):
     leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(g)]
     assert all(np.isfinite(x).all() for x in leaves)
     ot.global_options.pallas_trace = False
+
+
+def test_chunked_dispatch_parity(interpret_mode, monkeypatch):
+    """Runs longer than PALLAS_RUN_CHUNK split across kernel launches with
+    the state threaded through; forced tiny chunks must match the XLA
+    scan exactly like the single-launch path."""
+    import optrace_tpu.tracer.trace_core as tc
+
+    monkeypatch.setattr(tc, "PALLAS_RUN_CHUNK", 2)
+    N = 15000
+    with ot.global_options.no_warnings(), ot.global_options.no_progress_bar():
+        ot.global_options.pallas_trace = False
+        RT_a = _build(with_flats=True)
+        RT_a.trace(N)
+        ot.global_options.pallas_trace = True
+        RT_b = _build(with_flats=True)
+        RT_b.trace(N)
+        ot.global_options.pallas_trace = False
+
+    pa, pb = np.asarray(RT_a.rays.p_list), np.asarray(RT_b.rays.p_list)
+    np.testing.assert_allclose(pa, pb, rtol=5e-6, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(RT_a.rays.w_list),
+                               np.asarray(RT_b.rays.w_list), atol=1e-9)
+    assert (RT_a._msgs == RT_b._msgs).all()
