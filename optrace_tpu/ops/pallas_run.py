@@ -258,15 +258,25 @@ def conic_run_pallas(p, s, w, med, *, consts, store=True, interpret=False):
     Np = G * blk
     R = Np // LANE
 
+    # under shard_map (check_vma=True) every kernel operand and out_shape
+    # must carry a consistent varying-manual-axes set; derive it from the
+    # traced inputs (empty outside shard_map) and pcast the padded
+    # operands up to it (cf. trace_core._conic_scan "scan-vma")
+    vma = frozenset().union(*(jax.typeof(a).vma for a in (p, s, w, med)))
+
+    def _pv(a):
+        missing = vma - jax.typeof(a).vma
+        return jax.lax.pcast(a, tuple(missing), to="varying") if missing else a
+
     def comp(a, fill=0.0):
         out = jnp.full((Np,), fill, dt).at[:N].set(a.astype(dt))
-        return out.reshape(R, LANE)
+        return _pv(out.reshape(R, LANE))
 
     comps = [comp(p[:, 0]), comp(p[:, 1]), comp(p[:, 2]),
              comp(s[:, 0]), comp(s[:, 1]), comp(s[:, 2], fill=1.0),
              comp(w)]
-    med_p = jnp.zeros((L, 2, Np), dt).at[:, :, :N].set(med.astype(dt)) \
-        .reshape(L, 2, R, LANE)
+    med_p = _pv(jnp.zeros((L, 2, Np), dt).at[:, :, :N].set(med.astype(dt))
+                .reshape(L, 2, R, LANE))
 
     state_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
@@ -277,12 +287,15 @@ def conic_run_pallas(p, s, w, med, *, consts, store=True, interpret=False):
     ys_spec = pl.BlockSpec((L, TILE_ROWS, LANE), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
 
+    def sds(shape, dtype=dt):
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma) if vma \
+            else jax.ShapeDtypeStruct(shape, dtype)
+
     out_specs = [state_spec] * 7 + [cnt_spec]
-    out_shape = [jax.ShapeDtypeStruct((R, LANE), dt)] * 7 \
-        + [jax.ShapeDtypeStruct((G, L, 4), jnp.float32)]
+    out_shape = [sds((R, LANE))] * 7 + [sds((G, L, 4), jnp.float32)]
     if store:
         out_specs += [ys_spec] * 4
-        out_shape += [jax.ShapeDtypeStruct((L, R, LANE), dt)] * 4
+        out_shape += [sds((L, R, LANE))] * 4
 
     out = pl.pallas_call(
         _make_kernel(consts, store),

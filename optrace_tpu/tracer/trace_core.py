@@ -445,20 +445,26 @@ def _pallas_interpret() -> bool:
     return bool(os.environ.get("OPTRACE_TPU_PALLAS_INTERPRET"))
 
 
-def _pallas_run_eligible(steps, idxs, no_pol, dtype) -> bool:
+def _pallas_run_eligible(steps, idxs, no_pol, p) -> bool:
     """The whole-run kernel applies to the no-pol f32 path with concrete
     (non-traced) surface parameters on a TPU backend; everything else
     keeps the XLA scan (differentiable-design path, f64, pol transport).
     OPTRACE_TPU_PALLAS_INTERPRET=1 additionally enables the CPU
     interpreter path for tests."""
     from ..utils.global_options import global_options
-    if not global_options.pallas_trace or not no_pol or dtype != jnp.float32:
+    if not global_options.pallas_trace or not no_pol or p.dtype != jnp.float32:
         return False
     try:
         backend = jax.default_backend()
     except Exception:   # pragma: no cover
         return False
     if backend != "tpu" and not _pallas_interpret():
+        return False
+    if _pallas_interpret() and getattr(jax.typeof(p), "vma", frozenset()):
+        # the interpreter decomposes the kernel into jax ops whose scalar
+        # index operands fail shard_map's vma checks; compiled TPU
+        # pallas_call is opaque and unaffected — interpret+shard_map
+        # (a test-only combination) keeps the XLA scan
         return False
     for i in idxs:
         for key in ("pos", "rho", "k", "r", "z_min_rel", "z_max_rel"):
@@ -596,7 +602,7 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
 
     for run_kind, run_idxs in runs:
         if run_kind == "scan":
-            if _pallas_run_eligible(steps, run_idxs, no_pol, p.dtype):
+            if _pallas_run_eligible(steps, run_idxs, no_pol, p):
                 p, s, w, run_infos, run_p, run_w = _conic_run_pallas_dispatch(
                     steps, run_idxs, chain, outline64, n_tab, pairs,
                     p, s, w, store_sections)
