@@ -287,6 +287,18 @@ def build_html() -> int:
     if os.path.isdir(BUILD):
         shutil.rmtree(BUILD)
     os.makedirs(BUILD, exist_ok=True)
+
+    # static assets (gallery images etc.) copied verbatim
+    for root, dirs, files in os.walk(DOCS):
+        if "_build" in root:
+            continue
+        for f in files:
+            if f.lower().endswith((".png", ".jpg", ".svg", ".gif")):
+                srcp = os.path.join(root, f)
+                dstp = os.path.join(BUILD, os.path.relpath(srcp, DOCS))
+                os.makedirs(os.path.dirname(dstp), exist_ok=True)
+                shutil.copy2(srcp, dstp)
+
     nav = _nav_tree(md_files)
 
     try:
