@@ -160,7 +160,12 @@ def _time_trace(RT, N=None, reps=3, K=4):
         for i in range(reps):
             float(f(jax.random.PRNGKey(i + 1)))   # scalar fetch = true sync
         t_at[k_reps] = (time.perf_counter() - t0) / reps
-    return (t_at[K] - t_at[1]) / (K - 1), N
+    marg = (t_at[K] - t_at[1]) / (K - 1)
+    if marg <= 0:
+        # dispatch jitter exceeded the device time (tiny BENCH_N smoke
+        # runs): fall back to the conservative upper bound t_K / K
+        marg = t_at[K] / K
+    return marg, N
 
 
 def _time_fused(RT, N=None, reps=3, K=4):
@@ -200,7 +205,12 @@ def _time_fused(RT, N=None, reps=3, K=4):
         for i in range(reps):
             float(f(jax.random.PRNGKey(i + 1)))
         t_at[k_reps] = (time.perf_counter() - t0) / reps
-    return (t_at[K] - t_at[1]) / (K - 1), N
+    marg = (t_at[K] - t_at[1]) / (K - 1)
+    if marg <= 0:
+        # dispatch jitter exceeded the device time (tiny BENCH_N smoke
+        # runs): fall back to the conservative upper bound t_K / K
+        marg = t_at[K] / K
+    return marg, N
 
 
 def scaling_main(n_dev: int, timed: bool = True):

@@ -21,8 +21,9 @@ shared kernels (`ops/geom.py` hit_conic/clamp_abnormal/normal_conic,
 `tracer/trace_core.py` _refract_core/_outline_intersection) — equivalence
 is pinned by tests/test_pallas_run.py against the XLA scan.
 
-Enabled with ``global_options.pallas_trace = True`` (off by default until
-the head-to-head on the target hardware favors it; bench.py reports both).
+On by default on TPU (``global_options.pallas_trace``); bench.py reports
+the head-to-head against the XLA scan it replaces. Covers both the no-pol
+and the full polarization-transport paths.
 """
 
 import functools
@@ -42,9 +43,10 @@ TILE_ROWS = int(__import__("os").environ.get("OPTRACE_TPU_PALLAS_TILE_ROWS", "32
 INV_SQRT2_SQ = 0.5     # A_ts² = A_tp² = ½ in the no-pol path
 
 
-def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c):
+def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c, pol=None):
     """One refract step on component blocks; ``c`` is the static per-step
-    constant dict. Returns new state + (miss, tir, outline) count blocks."""
+    constant dict; ``pol`` is None (no-pol) or a (polx, poly, polz) tuple.
+    Returns new state + pol + (miss, tir, outline) count blocks."""
     hw = w > 0
 
     # --- frame shift into this surface's vertex frame ------------------
@@ -56,21 +58,21 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c):
         pz = pz - c["dz"]
     ppx, ppy, ppz, w_prev = px, py, pz, w
 
+    # --- standoff advance (geom.advance_to_standoff; the XLA scan
+    # applies it to flat steps too) ------------------------------------
+    ok_adv = hw & (sz != 0)
+    t0 = (c["z_min"] - ADVANCE_STANDOFF - pz) / jnp.where(ok_adv, sz, 1.0)
+    adv = ok_adv & (t0 > 0)
+    px = jnp.where(adv, px + t0 * sx, px)
+    py = jnp.where(adv, py + t0 * sy, py)
+    pz = jnp.where(adv, pz + t0 * sz, pz)
+
     if c["is_flat"]:
-        # plane z=0 hit (geom.hit_plane + flat clamp semantics)
+        # plane z=0 hit (geom.hit_plane); clamp shared below
         sz_ok = sz != 0
-        t = -pz / jnp.where(sz_ok, sz, 1.0)
-        valid = sz_ok & (t >= -C_EPS)
-        t_safe = jnp.where(valid, t, 0.0)
-        ok = valid
+        t = jnp.where(sz_ok, -pz / jnp.where(sz_ok, sz, 1.0), jnp.inf)
+        valid = jnp.isfinite(t) & (t >= -C_EPS)
     else:
-        # --- standoff advance (geom.advance_to_standoff) ---------------
-        ok_adv = hw & (sz != 0)
-        t0 = (c["z_min"] - ADVANCE_STANDOFF - pz) / jnp.where(ok_adv, sz, 1.0)
-        adv = ok_adv & (t0 > 0)
-        px = jnp.where(adv, px + t0 * sx, px)
-        py = jnp.where(adv, py + t0 * sy, py)
-        pz = jnp.where(adv, pz + t0 * sz, pz)
 
         # --- conic root (geom.hit_conic: Citardauq + Newton polish) ----
         rho, k = c["rho"], c["k"]
@@ -114,18 +116,19 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c):
         okp = okp & (lo <= z_pol) & (z_pol <= hi)
         t = jnp.where(okp, t_pol, t)
 
-        # --- clamp abnormal (geom.clamp_abnormal) ----------------------
-        t_fin = jnp.isfinite(t)
-        t_safe = jnp.where(t_fin, t, 0.0)
-        z_hit = pz + t_safe * sz
-        beh = pz > c["z_max"] + C_EPS
-        neg = z_hit < pz - C_EPS
-        bad = ~valid | neg | ~t_fin
-        sz_ok = sz != 0
-        t_zmax = jnp.where(sz_ok, (c["z_max"] - pz) / jnp.where(sz_ok, sz, 1.0), 0.0)
-        t_safe = jnp.where(bad & ~beh, t_zmax, t_safe)
-        t_safe = jnp.where(beh, 0.0, t_safe)
-        ok = ~(bad | beh)
+    # --- clamp abnormal (geom.clamp_abnormal; shared by both branches,
+    # flat steps have z_max = 0) ----------------------------------------
+    t_fin = jnp.isfinite(t)
+    t_safe = jnp.where(t_fin, t, 0.0)
+    z_hit = pz + t_safe * sz
+    beh = pz > c["z_max"] + N_EPS
+    neg = z_hit < pz - C_EPS
+    bad = ~valid | neg | ~t_fin
+    sz_ok = sz != 0
+    t_zmax = jnp.where(sz_ok, (c["z_max"] - pz) / jnp.where(sz_ok, sz, 1.0), 0.0)
+    t_safe = jnp.where(bad & ~beh, t_zmax, t_safe)
+    t_safe = jnp.where(beh, 0.0, t_safe)
+    ok = ~(bad | beh)
 
     hx = px + t_safe * sx
     hy = py + t_safe * sy
@@ -169,11 +172,47 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c):
     sz_ = sz * Nq - nz * f
 
     upd = hit & ~tir
+    if pol is None:
+        A_ts2, A_tp2 = INV_SQRT2_SQ, INV_SQRT2_SQ
+    else:
+        # s/p decomposition across the direction change (the component
+        # form of trace_core._compute_polarization)
+        INV_SQRT2 = float(np.sqrt(0.5))
+        qx, qy, qz = pol
+        changed = (sx != sx_) | (sy != sy_) | (sz != sz_)
+        # ps = normalize_safe(cross(s_, s))
+        cx = sy_ * sz - sz_ * sy
+        cy = sz_ * sx - sx_ * sz
+        cz = sx_ * sy - sy_ * sx
+        cn2 = cx * cx + cy * cy + cz * cz
+        cok = cn2 > 0
+        cinv = 1.0 / jnp.sqrt(jnp.where(cok, cn2, 1.0))
+        psx = jnp.where(cok, cx * cinv, 0.0)
+        psy = jnp.where(cok, cy * cinv, 0.0)
+        psz = jnp.where(cok, cz * cinv, 0.0)
+        # pp = cross(ps, s)
+        ppx = psy * sz - psz * sy
+        ppy = psz * sx - psx * sz
+        ppz = psx * sy - psy * sx
+        A_ts = psx * qx + psy * qy + psz * qz
+        A_tp = ppx * qx + ppy * qy + ppz * qz
+        A_ts = jnp.where(changed, A_ts, INV_SQRT2)
+        A_tp = jnp.where(changed, A_tp, INV_SQRT2)
+        # pp_ = cross(ps, s_)
+        ppx_ = psy * sz_ - psz * sy_
+        ppy_ = psz * sx_ - psx * sz_
+        ppz_ = psx * sy_ - psy * sx_
+        m = upd & changed
+        qx = jnp.where(m, psx * A_ts + ppx_ * A_tp, qx)
+        qy = jnp.where(m, psy * A_ts + ppy_ * A_tp, qy)
+        qz = jnp.where(m, psz * A_ts + ppz_ * A_tp, qz)
+        pol = (qx, qy, qz)
+        A_ts2, A_tp2 = A_ts * A_ts, A_tp * A_tp
     n1ca = n1 * ns_safe
     n2cb = n2 * W
     ts = 2.0 * n1ca / (n1ca + n2cb)
     tp = 2.0 * n1ca / (n2 * ns_safe + n1 * W)
-    T = n2cb / n1ca * INV_SQRT2_SQ * (ts * ts + tp * tp)
+    T = n2cb / n1ca * (A_ts2 * ts * ts + A_tp2 * tp * tp)
     T = jnp.where(tir | graze, 0.0, T)
 
     w = jnp.where(hit, w * T, w)
@@ -201,59 +240,92 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c):
     pz = jnp.where(outl, ppz + tmin * sz, pz)
     w = jnp.where(outl, 0.0, w)
 
-    return (px, py, pz, sx, sy, sz, w), (miss, n_tir, outl)
+    return (px, py, pz, sx, sy, sz, w), pol, (miss, n_tir, outl)
 
 
-def _make_kernel(consts, store):
+def _make_kernel(consts, store, with_pol):
     L = len(consts)
 
-    def kernel(px_r, py_r, pz_r, sx_r, sy_r, sz_r, w_r, med_r,
-               opx, opy, opz, osx, osy, osz, ow, cnt_r, *ys_refs):
+    def kernel(*refs):
+        # inputs: 7 state (+3 pol) + media; outputs: 7 state (+3 pol) +
+        # counts (+ per-step ys: 4 without pol, 7 with)
+        n_in = 8 + (3 if with_pol else 0)
+        in_refs, out_refs = refs[:n_in], refs[n_in:]
+        if with_pol:
+            (px_r, py_r, pz_r, sx_r, sy_r, sz_r, w_r,
+             qx_r, qy_r, qz_r, med_r) = in_refs
+            pol = (qx_r[:], qy_r[:], qz_r[:])
+            state_out, cnt_r = out_refs[:10], out_refs[10]
+            ys_refs = out_refs[11:]
+        else:
+            px_r, py_r, pz_r, sx_r, sy_r, sz_r, w_r, med_r = in_refs
+            pol = None
+            state_out, cnt_r = out_refs[:7], out_refs[7]
+            ys_refs = out_refs[8:]
         st = (px_r[:], py_r[:], pz_r[:], sx_r[:], sy_r[:], sz_r[:], w_r[:])
         cnt_rows = []
         for j, c in enumerate(consts):
             n1 = med_r[j, 0]
             n2 = med_r[j, 1]
-            st, (miss, tirb, outb) = _one_step(*st, n1, n2, c)
+            st, pol, (miss, tirb, outb) = _one_step(*st, n1, n2, c, pol=pol)
             cnt_rows.append(jnp.stack([
                 jnp.sum(miss.astype(jnp.float32)),
                 jnp.sum(tirb.astype(jnp.float32)),
                 jnp.sum(outb.astype(jnp.float32)),
                 jnp.float32(0.0)]))
             if store:
-                yp_x, yp_y, yp_z, yw = ys_refs
                 # sections are emitted in ABSOLUTE coordinates
-                yp_x[j] = st[0] + c["ox"]
-                yp_y[j] = st[1] + c["oy"]
-                yp_z[j] = st[2] + c["oz"]
-                yw[j] = st[6]
+                ys_refs[0][j] = st[0] + c["ox"]
+                ys_refs[1][j] = st[1] + c["oy"]
+                ys_refs[2][j] = st[2] + c["oz"]
+                ys_refs[3][j] = st[6]
+                if with_pol:
+                    ys_refs[4][j] = pol[0]
+                    ys_refs[5][j] = pol[1]
+                    ys_refs[6][j] = pol[2]
         cnt_r[0] = jnp.stack(cnt_rows)                     # (L, 4)
-        for ref, val in zip((opx, opy, opz, osx, osy, osz, ow), st):
+        vals = st + (pol if with_pol else ())
+        for ref, val in zip(state_out, vals):
             ref[:] = val
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("consts", "store", "interpret"))
-def conic_run_pallas(p, s, w, med, *, consts, store=True, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("consts", "store", "interpret"))
+def conic_run_pallas(p, s, w, med, pol=None, *, consts, store=True,
+                     interpret=False):
     """Run L consecutive conic/flat refract steps as one Pallas kernel.
 
     :param p, s: (N, 3) ray positions (in the frame BEFORE the first
         step's delta shift) and directions
     :param w: (N,) weights
     :param med: (L, 2, N) per-step (n1, n2) media value rows
+    :param pol: optional (N, 3) polarization vectors — enables the full
+        s/p polarization transport in-kernel (the pol benchmark path)
     :param consts: tuple of L per-step constant dicts (hashable: tuple of
         (key, value) pairs), each with rho, k, r, z_min, z_max, is_flat,
         dx/dy/dz frame delta, ox/oy/oz applied origin, out (6 rel bounds)
     :param store: also return per-step absolute positions and weights
-    :return: (p', s', w'), (counts (L, 3) int32, ys_p (L, N, 3) or None,
-        ys_w (L, N) or None)
+        (and polarizations when ``pol`` is given)
+    :return: (p', s', w', pol'|None), (counts (L, 3) int32,
+        ys_p (L, N, 3)|None, ys_w (L, N)|None, ys_pol (L, N, 3)|None)
     """
     consts = tuple(dict(c) for c in consts)
     L = len(consts)
     N = p.shape[0]
     dt = p.dtype
-    blk = TILE_ROWS * LANE
+    with_pol_static = pol is not None
+    n_state_static = 10 if with_pol_static else 7
+    n_ys_static = (7 if with_pol_static else 4) if store else 0
+    # adapt the ray-tile height to the per-block VMEM footprint (state
+    # in+out, the (L,2) media slab, the (L,) stored-section outputs),
+    # leaving headroom for double buffering — a long pol+store run at a
+    # fixed 32-row tile would overflow the ~16 MB VMEM
+    bytes_per_row = 4 * LANE * (2 * n_state_static + 2 * L + n_ys_static * L + 4)
+    rows_fit = int((6_000_000 // max(bytes_per_row, 1)) // 8 * 8)
+    tile_rows = max(8, min(TILE_ROWS, rows_fit))
+    blk = tile_rows * LANE
     G = -(-N // blk)
     Np = G * blk
     R = Np // LANE
@@ -262,7 +334,9 @@ def conic_run_pallas(p, s, w, med, *, consts, store=True, interpret=False):
     # must carry a consistent varying-manual-axes set; derive it from the
     # traced inputs (empty outside shard_map) and pcast the padded
     # operands up to it (cf. trace_core._conic_scan "scan-vma")
-    vma = frozenset().union(*(jax.typeof(a).vma for a in (p, s, w, med)))
+    pol_args = (pol,) if pol is not None else ()
+    vma = frozenset().union(*(jax.typeof(a).vma
+                              for a in (p, s, w, med) + pol_args))
 
     def _pv(a):
         missing = vma - jax.typeof(a).vma
@@ -272,46 +346,53 @@ def conic_run_pallas(p, s, w, med, *, consts, store=True, interpret=False):
         out = jnp.full((Np,), fill, dt).at[:N].set(a.astype(dt))
         return _pv(out.reshape(R, LANE))
 
+    with_pol = pol is not None
     comps = [comp(p[:, 0]), comp(p[:, 1]), comp(p[:, 2]),
              comp(s[:, 0]), comp(s[:, 1]), comp(s[:, 2], fill=1.0),
              comp(w)]
+    if with_pol:
+        comps += [comp(pol[:, 0]), comp(pol[:, 1]), comp(pol[:, 2])]
     med_p = _pv(jnp.zeros((L, 2, Np), dt).at[:, :, :N].set(med.astype(dt))
                 .reshape(L, 2, R, LANE))
 
-    state_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+    state_spec = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
-    med_spec = pl.BlockSpec((L, 2, TILE_ROWS, LANE), lambda i: (0, 0, i, 0),
+    med_spec = pl.BlockSpec((L, 2, tile_rows, LANE), lambda i: (0, 0, i, 0),
                             memory_space=pltpu.VMEM)
     cnt_spec = pl.BlockSpec((1, L, 4), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    ys_spec = pl.BlockSpec((L, TILE_ROWS, LANE), lambda i: (0, i, 0),
+    ys_spec = pl.BlockSpec((L, tile_rows, LANE), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
 
     def sds(shape, dtype=dt):
         return jax.ShapeDtypeStruct(shape, dtype, vma=vma) if vma \
             else jax.ShapeDtypeStruct(shape, dtype)
 
-    out_specs = [state_spec] * 7 + [cnt_spec]
-    out_shape = [sds((R, LANE))] * 7 + [sds((G, L, 4), jnp.float32)]
-    if store:
-        out_specs += [ys_spec] * 4
-        out_shape += [sds((L, R, LANE))] * 4
+    n_state = 10 if with_pol else 7
+    n_ys = (7 if with_pol else 4) if store else 0
+    out_specs = [state_spec] * n_state + [cnt_spec] + [ys_spec] * n_ys
+    out_shape = [sds((R, LANE))] * n_state + [sds((G, L, 4), jnp.float32)] \
+        + [sds((L, R, LANE))] * n_ys
 
     out = pl.pallas_call(
-        _make_kernel(consts, store),
+        _make_kernel(consts, store, with_pol),
         grid=(G,),
-        in_specs=[state_spec] * 7 + [med_spec],
+        in_specs=[state_spec] * n_state + [med_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(*comps, med_p)
 
-    flat = [o.reshape(Np)[:N] for o in out[:7]]
+    flat = [o.reshape(Np)[:N] for o in out[:n_state]]
     p_new = jnp.stack(flat[0:3], axis=-1)
     s_new = jnp.stack(flat[3:6], axis=-1)
-    counts = jnp.sum(out[7], axis=0)[:, :3].astype(jnp.int32)   # (L, 3)
+    pol_new = jnp.stack(flat[7:10], axis=-1) if with_pol else None
+    # per-block counts are exact in f32 (<= blk = TILE_ROWS*LANE); cast
+    # BEFORE the cross-block sum so totals beyond 2^24 stay int-exact
+    counts = jnp.sum(out[n_state].astype(jnp.int32), axis=0)[:, :3]  # (L, 3)
     if not store:
-        return (p_new, s_new, flat[6]), (counts, None, None)
-    ys = [o.reshape(L, Np)[:, :N] for o in out[8:12]]
+        return (p_new, s_new, flat[6], pol_new), (counts, None, None, None)
+    ys = [o.reshape(L, Np)[:, :N] for o in out[n_state + 1:]]
     ys_p = jnp.stack(ys[0:3], axis=-1)                          # (L, N, 3)
-    return (p_new, s_new, flat[6]), (counts, ys_p, ys[3])
+    ys_pol = jnp.stack(ys[4:7], axis=-1) if with_pol else None
+    return (p_new, s_new, flat[6], pol_new), (counts, ys_p, ys[3], ys_pol)

@@ -445,14 +445,14 @@ def _pallas_interpret() -> bool:
     return bool(os.environ.get("OPTRACE_TPU_PALLAS_INTERPRET"))
 
 
-def _pallas_run_eligible(steps, idxs, no_pol, p) -> bool:
-    """The whole-run kernel applies to the no-pol f32 path with concrete
-    (non-traced) surface parameters on a TPU backend; everything else
-    keeps the XLA scan (differentiable-design path, f64, pol transport).
-    OPTRACE_TPU_PALLAS_INTERPRET=1 additionally enables the CPU
-    interpreter path for tests."""
+def _pallas_run_eligible(steps, idxs, p) -> bool:
+    """The whole-run kernel applies to the f32 path (with or without
+    polarization transport) with concrete (non-traced) surface parameters
+    on a TPU backend; everything else keeps the XLA scan
+    (differentiable-design path, f64). OPTRACE_TPU_PALLAS_INTERPRET=1
+    additionally enables the CPU interpreter path for tests."""
     from ..utils.global_options import global_options
-    if not global_options.pallas_trace or not no_pol or p.dtype != jnp.float32:
+    if not global_options.pallas_trace or p.dtype != jnp.float32:
         return False
     try:
         backend = jax.default_backend()
@@ -482,7 +482,7 @@ PALLAS_RUN_CHUNK = 64
 
 
 def _conic_run_pallas_dispatch(steps, idxs, chain, outline64, n_tab, pairs,
-                               p, s, w, store_sections):
+                               p, s, w, pols, no_pol, store_sections):
     """Build the static per-step constants and media rows, call the
     whole-run kernel (chunked to PALLAS_RUN_CHUNK steps per launch), and
     reshape its outputs to the scan contract."""
@@ -490,21 +490,23 @@ def _conic_run_pallas_dispatch(steps, idxs, chain, outline64, n_tab, pairs,
 
     if len(idxs) > PALLAS_RUN_CHUNK:
         # thread the state through the chunks sequentially
-        out_infos, out_p, out_w = [], [], []
+        out_infos, out_p, out_w, out_pol = [], [], [], []
         for i in range(0, len(idxs), PALLAS_RUN_CHUNK):
             chunk = idxs[i:i + PALLAS_RUN_CHUNK]
-            p, s, w, ri, rp, rw = _conic_run_pallas_dispatch(
+            p, s, w, pols, ri, rp, rw, rq = _conic_run_pallas_dispatch(
                 steps, chunk, chain, outline64, n_tab, pairs, p, s, w,
-                store_sections)
+                pols, no_pol, store_sections)
             out_infos.append(ri)
             if store_sections:
                 out_p.append(rp)
                 out_w.append(rw)
+                out_pol.append(rq)
         infos = jnp.concatenate(out_infos, axis=0)
         if not store_sections:
-            return p, s, w, infos, None, None
-        return (p, s, w, infos, jnp.concatenate(out_p, axis=0),
-                jnp.concatenate(out_w, axis=0))
+            return p, s, w, pols, infos, None, None, None
+        return (p, s, w, pols, infos, jnp.concatenate(out_p, axis=0),
+                jnp.concatenate(out_w, axis=0),
+                None if no_pol else jnp.concatenate(out_pol, axis=0))
 
     def f(v, default=0.0):
         return float(np.asarray(v if v is not None else default).reshape(-1)[0])
@@ -529,9 +531,11 @@ def _conic_run_pallas_dispatch(steps, idxs, chain, outline64, n_tab, pairs,
     med = jnp.take(n_tab, idx_arr.reshape(-1), axis=0) \
         .reshape(len(idxs), 2, n_tab.shape[1])
 
-    (p2, s2, w2), (counts, ys_p, ys_w) = conic_run_pallas(
-        p, s, w, med, consts=tuple(consts), store=store_sections,
-        interpret=_pallas_interpret())
+    (p2, s2, w2, pols2), (counts, ys_p, ys_w, ys_pol) = conic_run_pallas(
+        p, s, w, med, None if no_pol else pols, consts=tuple(consts),
+        store=store_sections, interpret=_pallas_interpret())
+    if no_pol:
+        pols2 = pols
 
     # per-step (N_INFOS,) rows from the kernel's (L, 3) counters
     L = len(idxs)
@@ -539,7 +543,7 @@ def _conic_run_pallas_dispatch(steps, idxs, chain, outline64, n_tab, pairs,
     run_infos = run_infos.at[:, ABSORB_MISSING].set(counts[:, 0])
     run_infos = run_infos.at[:, TIR].set(counts[:, 1])
     run_infos = run_infos.at[:, OUTLINE_INTERSECTION].set(counts[:, 2])
-    return p2, s2, w2, run_infos, ys_p, ys_w
+    return p2, s2, w2, pols2, run_infos, ys_p, ys_w, ys_pol
 
 
 # ----------------------------------------------------------------------
@@ -602,16 +606,20 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
 
     for run_kind, run_idxs in runs:
         if run_kind == "scan":
-            if _pallas_run_eligible(steps, run_idxs, no_pol, p):
-                p, s, w, run_infos, run_p, run_w = _conic_run_pallas_dispatch(
+            if _pallas_run_eligible(steps, run_idxs, p):
+                (p, s, w, pols, run_infos, run_p, run_w,
+                 run_pol) = _conic_run_pallas_dispatch(
                     steps, run_idxs, chain, outline64, n_tab, pairs,
-                    p, s, w, store_sections)
+                    p, s, w, pols, no_pol, store_sections)
                 L = len(run_idxs)
                 infos.extend(run_infos[i] for i in range(L))
                 if store_sections:
                     sections_p.extend(run_p[i] for i in range(L))
                     sections_w.extend(run_w[i] for i in range(L))
-                    sections_pol.extend([pols] * L)   # no_pol only
+                    if no_pol:      # pol untouched: reuse the source array
+                        sections_pol.extend([pols] * L)
+                    else:
+                        sections_pol.extend(run_pol[i] for i in range(L))
                     sections_n.extend(n_tab[pairs[i][1]] for i in run_idxs)
                 n_amb_last = n_tab[pairs[run_idxs[-1]][1]]
                 continue

@@ -121,3 +121,27 @@ def test_chunked_dispatch_parity(interpret_mode, monkeypatch):
     np.testing.assert_allclose(np.asarray(RT_a.rays.w_list),
                                np.asarray(RT_b.rays.w_list), atol=1e-9)
     assert (RT_a._msgs == RT_b._msgs).all()
+
+
+def test_pol_path_matches_xla_scan(interpret_mode):
+    """Full polarization transport through the kernel (s/p decomposition,
+    A_ts/A_tp Fresnel weights) matches the XLA scan."""
+    N = 20000
+    with ot.global_options.no_warnings(), ot.global_options.no_progress_bar():
+        ot.global_options.pallas_trace = False
+        RT_a = _build(with_flats=True)
+        RT_a.no_pol = False
+        RT_a.trace(N)
+        ot.global_options.pallas_trace = True
+        RT_b = _build(with_flats=True)
+        RT_b.no_pol = False
+        RT_b.trace(N)
+        ot.global_options.pallas_trace = False
+
+    pa, pb = np.asarray(RT_a.rays.p_list), np.asarray(RT_b.rays.p_list)
+    qa, qb = np.asarray(RT_a.rays.pol_list), np.asarray(RT_b.rays.pol_list)
+    np.testing.assert_allclose(pa, pb, rtol=5e-6, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(RT_a.rays.w_list),
+                               np.asarray(RT_b.rays.w_list), atol=1e-8)
+    np.testing.assert_allclose(np.nan_to_num(qa), np.nan_to_num(qb), atol=1e-5)
+    assert (RT_a._msgs == RT_b._msgs).all()
