@@ -138,9 +138,11 @@ class _GlobalOptions:
         kernel (ops/pallas_run.py): ray state stays in VMEM across all
         surfaces of a run instead of streaming through HBM per surface
         (measured 102 vs 160 ms stored / 80 ms no-store on the 57-surface
-        benchmark at 1e6 rays). Applies only to the no-pol f32 TPU path
-        with concrete (non-traced) surface parameters; other paths keep
-        the XLA scan. On by default; bench.py reports the comparison."""
+        benchmark at 1e6 rays; polarization transport 2.1 vs 3.2 ms).
+        Applies to the f32 TPU path — with or without polarization — with
+        concrete (non-traced) surface parameters; the differentiable-design
+        path and the f64 oracle path keep the XLA scan. On by default;
+        bench.py reports the comparison."""
         return self._pallas_trace
 
     @pallas_trace.setter
