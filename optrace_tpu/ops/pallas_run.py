@@ -56,7 +56,9 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c, pol=None):
         py = py - c["dy"]
     if c["dz"] != 0.0:
         pz = pz - c["dz"]
-    ppx, ppy, ppz, w_prev = px, py, pz, w
+    # previous section position (kept for the outline-escape origin; the
+    # pol branch below must NOT reuse these names — r4 latent bug)
+    ppx, ppy, ppz = px, py, pz
 
     # --- standoff advance (geom.advance_to_standoff; the XLA scan
     # applies it to flat steps too) ------------------------------------
@@ -190,22 +192,23 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c, pol=None):
         psx = jnp.where(cok, cx * cinv, 0.0)
         psy = jnp.where(cok, cy * cinv, 0.0)
         psz = jnp.where(cok, cz * cinv, 0.0)
-        # pp = cross(ps, s)
-        ppx = psy * sz - psz * sy
-        ppy = psz * sx - psx * sz
-        ppz = psx * sy - psy * sx
+        # p-basis bp = cross(ps, s) — distinct names from the saved
+        # previous position ppx/ppy/ppz used by the outline block
+        bpx = psy * sz - psz * sy
+        bpy = psz * sx - psx * sz
+        bpz = psx * sy - psy * sx
         A_ts = psx * qx + psy * qy + psz * qz
-        A_tp = ppx * qx + ppy * qy + ppz * qz
+        A_tp = bpx * qx + bpy * qy + bpz * qz
         A_ts = jnp.where(changed, A_ts, INV_SQRT2)
         A_tp = jnp.where(changed, A_tp, INV_SQRT2)
-        # pp_ = cross(ps, s_)
-        ppx_ = psy * sz_ - psz * sy_
-        ppy_ = psz * sx_ - psx * sz_
-        ppz_ = psx * sy_ - psy * sx_
+        # bp_ = cross(ps, s_)
+        bpx_ = psy * sz_ - psz * sy_
+        bpy_ = psz * sx_ - psx * sz_
+        bpz_ = psx * sy_ - psy * sx_
         m = upd & changed
-        qx = jnp.where(m, psx * A_ts + ppx_ * A_tp, qx)
-        qy = jnp.where(m, psy * A_ts + ppy_ * A_tp, qy)
-        qz = jnp.where(m, psz * A_ts + ppz_ * A_tp, qz)
+        qx = jnp.where(m, psx * A_ts + bpx_ * A_tp, qx)
+        qy = jnp.where(m, psy * A_ts + bpy_ * A_tp, qy)
+        qz = jnp.where(m, psz * A_ts + bpz_ * A_tp, qz)
         pol = (qx, qy, qz)
         A_ts2, A_tp2 = A_ts * A_ts, A_tp * A_tp
     n1ca = n1 * ns_safe

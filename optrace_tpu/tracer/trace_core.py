@@ -445,7 +445,28 @@ def _pallas_interpret() -> bool:
     return bool(os.environ.get("OPTRACE_TPU_PALLAS_INTERPRET"))
 
 
-def _pallas_run_eligible(steps, idxs, p) -> bool:
+def _diff_traced(*arrays) -> bool:
+    """True when any array is a differentiation tracer (jvp/linearize) —
+    ``pallas_call`` has no autodiff rules, so gradients w.r.t. values that
+    reach the kernel as OPERANDS (ray state from traced source parameters,
+    media rows from traced dispersion coefficients) must keep the XLA
+    scan. Surface-parameter tracers are caught separately because those
+    are embedded as kernel CONSTANTS (severing the gradient silently
+    rather than erroring)."""
+    from jax.interpreters import ad
+    from jax.interpreters import partial_eval as pe
+    types = [ad.JVPTracer, pe.JaxprTracer]
+    try:    # direct-linearization tracer (jax >= 0.4.34, not re-exported)
+        from jax._src.interpreters.ad import LinearizeTracer
+        types.append(LinearizeTracer)
+    except ImportError:     # pragma: no cover
+        pass
+    types = tuple(types)
+    return any(isinstance(a, types) for a in arrays if a is not None)
+
+
+def _pallas_run_eligible(steps, idxs, p, s=None, w=None, pols=None,
+                         n_tab=None) -> bool:
     """The whole-run kernel applies to the f32 path (with or without
     polarization transport) with concrete (non-traced) surface parameters
     on a TPU backend; everything else keeps the XLA scan
@@ -453,6 +474,8 @@ def _pallas_run_eligible(steps, idxs, p) -> bool:
     additionally enables the CPU interpreter path for tests."""
     from ..utils.global_options import global_options
     if not global_options.pallas_trace or p.dtype != jnp.float32:
+        return False
+    if _diff_traced(p, s, w, pols, n_tab):
         return False
     try:
         backend = jax.default_backend()
@@ -606,7 +629,7 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
 
     for run_kind, run_idxs in runs:
         if run_kind == "scan":
-            if _pallas_run_eligible(steps, run_idxs, p):
+            if _pallas_run_eligible(steps, run_idxs, p, s, w, pols, n_tab):
                 (p, s, w, pols, run_infos, run_p, run_w,
                  run_pol) = _conic_run_pallas_dispatch(
                     steps, run_idxs, chain, outline64, n_tab, pairs,

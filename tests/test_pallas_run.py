@@ -123,6 +123,107 @@ def test_chunked_dispatch_parity(interpret_mode, monkeypatch):
     assert (RT_a._msgs == RT_b._msgs).all()
 
 
+@pytest.mark.parametrize("no_pol", [True, False])
+def test_outline_exit_scene_parity(interpret_mode, no_pol):
+    """Scene whose lens apertures poke past the outline box (allowed with
+    a warning, raytracer.py:213): rays hitting those zones must be
+    outline-killed IN-KERNEL identically to the XLA scan — the branch no
+    regular scene reaches (ADVICE r4 #2; exercises the r4 pol-clobber fix
+    at scene level)."""
+    from optrace_tpu.tracer.trace_core import OUTLINE_INTERSECTION
+
+    def build_tight():
+        RT = ot.Raytracer(outline=[-2.5, 2.5, -2.5, 2.5, -10, 80],
+                          no_pol=no_pol)
+        RT.add(ot.RaySource(ot.CircularSurface(r=1.5), divergence="Lambertian",
+                            div_angle=25, pos=[0, 0, -5],
+                            spectrum=ot.presets.light_spectrum.d65))
+        n1 = ot.presets.refraction_index.BK7
+        n2 = ot.presets.refraction_index.F2
+        RT.add(ot.Lens(ot.SphericalSurface(r=3, R=20),
+                       ot.SphericalSurface(r=3, R=-25),
+                       n=n1, pos=[0, 0, 0], d=1.0))
+        RT.add(ot.Lens(ot.ConicSurface(r=3, R=30, k=-0.5),
+                       ot.CircularSurface(r=3),
+                       n=n2, pos=[0, 0, 5], d=0.8))
+        RT.add(ot.Lens(ot.SphericalSurface(r=3, R=15),
+                       ot.SphericalSurface(r=3, R=-15),
+                       n=n1, pos=[0, 0, 10], d=1.2))
+        RT.add(ot.Detector(ot.RectangularSurface(dim=[4, 4]), pos=[0, 0, 40]))
+        # the outside-outline geometry is deliberate here: tracing it is
+        # exactly how the in-run outline branch becomes reachable
+        RT._ignore_geometry_error = True
+        return RT
+
+    N = 20000
+    with ot.global_options.no_warnings(), ot.global_options.no_progress_bar():
+        ot.global_options.pallas_trace = False     # baseline: XLA scan
+        RT_a = build_tight()
+        RT_a.trace(N)
+        ot.global_options.pallas_trace = True
+        RT_b = build_tight()
+        RT_b.trace(N)
+        ot.global_options.pallas_trace = False
+
+    # the in-run outline branch must actually fire (not only the end step)
+    n_out = RT_b._msgs[OUTLINE_INTERSECTION, 1:7].sum()
+    assert n_out > 50, f"outline branch unexercised ({n_out} kills)"
+    pa, pb = np.asarray(RT_a.rays.p_list), np.asarray(RT_b.rays.p_list)
+    wa, wb = np.asarray(RT_a.rays.w_list), np.asarray(RT_b.rays.w_list)
+    np.testing.assert_allclose(wa, wb, atol=1e-8)
+    # live sections must agree tightly; dead outline-kill endpoints sit on
+    # a box face after an O(10 mm) extra flight, where f32 rounding of
+    # t·s differs between the component and vector forms by ~1e-4 (a
+    # handful of rays; physics-identical: the weights above are equal)
+    live = (wa > 0)[:, :, None]
+    np.testing.assert_allclose(np.where(live, pa, 0.0),
+                               np.where(live, pb, 0.0), rtol=5e-6, atol=2e-5)
+    np.testing.assert_allclose(pa, pb, rtol=5e-6, atol=2e-3)
+    assert (RT_a._msgs == RT_b._msgs).all()
+
+
+def test_material_and_source_grads_keep_xla_scan(interpret_mode):
+    """Gradients w.r.t. media (dispersion) or source-ray values leave the
+    surface params concrete, so only the OPERANDS are diff-traced:
+    eligibility must detect that and fall back to the XLA scan instead of
+    dispatching pallas_call (which has no autodiff rules) — ADVICE r4 #3."""
+    import jax
+    import jax.numpy as jnp
+    from optrace_tpu.tracer.trace_core import trace_bundle
+
+    ot.global_options.pallas_trace = True
+    RT = _build()
+    RT.rays.init(RT.ray_sources, 512, len(RT.tracing_surfaces) + 2, True)
+    steps = RT._build_steps()
+    gen = RT._make_source_fn(512)
+    p, s, pols, w, wl = gen(jax.random.PRNGKey(0))
+    outline = tuple(float(v) for v in RT.outline)
+
+    def loss_media(dn):
+        def wrap(f):
+            return None if f is None else (lambda wl_: f(wl_) + dn)
+        steps_p = [st._replace(n1_fn=wrap(st.n1_fn), n2_fn=wrap(st.n2_fn))
+                   for st in steps]
+        out = trace_bundle(steps_p, RT.n0, outline, p, s, pols, w, wl,
+                           True, False)
+        # the end absorber zeroes the final w: weight by the last section
+        # BEFORE it, positions at the absorber plane
+        return jnp.sum(out["p"][:, -1, 0] ** 2 * out["w"][:, -2])
+
+    g = jax.grad(loss_media)(jnp.float32(0.0))
+    assert np.isfinite(float(g)) and float(g) != 0.0
+
+    def loss_source(dx):
+        p_shift = p + jnp.stack([dx, 0.0 * dx, 0.0 * dx])
+        out = trace_bundle(steps, RT.n0, outline, p_shift, s, pols, w, wl,
+                           True, False)
+        return jnp.sum(out["p"][:, -1, 0] ** 2 * out["w"][:, -2])
+
+    g2 = jax.grad(loss_source)(jnp.float32(0.0))
+    assert np.isfinite(float(g2)) and float(g2) != 0.0
+    ot.global_options.pallas_trace = False
+
+
 def test_pol_path_matches_xla_scan(interpret_mode):
     """Full polarization transport through the kernel (s/p decomposition,
     A_ts/A_tp Fresnel weights) matches the XLA scan."""
