@@ -174,7 +174,8 @@ def _refract_ideal(step: TraceStep, p_new, s, pols, hit, no_pol):
     sx = s[:, 0] * fsz - p_new[:, 0]
     sy = s[:, 1] * fsz - p_new[:, 1]
     s_ = jnp.stack([sx, sy, jnp.full_like(sx, f)], axis=-1)
-    s_ = normalize_safe(s_) * np.sign(f)
+    # jnp.sign (not np.sign): D may be a traced design parameter
+    s_ = normalize_safe(s_) * jnp.sign(f)
 
     _, _, pols_new = _compute_polarization(s, s_, pols, hit, no_pol)
     s_new = jnp.where(hit[:, None], s_, s)
