@@ -43,10 +43,28 @@ TILE_ROWS = int(__import__("os").environ.get("OPTRACE_TPU_PALLAS_TILE_ROWS", "32
 INV_SQRT2_SQ = 0.5     # A_ts² = A_tp² = ½ in the no-pol path
 
 
+def _asph_sag_F(t, px, py, pz, sx, sy, sz, rho, k, coeff):
+    """F(t) = z(t) − sag_asphere(x(t), y(t)): the root function of the
+    bracketed solve (component form of geom.hit_newton's closure over
+    geom.sag_asphere — same guards, so parity holds to f32 rounding)."""
+    x = px + t * sx
+    y = py + t * sy
+    r2 = x * x + y * y
+    arg = 1.0 - (k + 1.0) * rho * rho * r2
+    ok = arg > 0
+    root = jnp.sqrt(jnp.where(ok, arg, 1.0))
+    root = jnp.where(ok, root, 0.0)
+    z = rho * r2 / (1.0 + root)
+    poly = jnp.zeros_like(r2)
+    for cf in coeff[::-1]:
+        poly = poly * r2 + cf
+    return pz + t * sz - (z + poly * r2)
+
+
 def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c, pol=None):
     """One refract step on component blocks; ``c`` is the static per-step
     constant dict; ``pol`` is None (no-pol) or a (polx, poly, polz) tuple.
-    Returns new state + pol + (miss, tir, outline) count blocks."""
+    Returns new state + pol + (miss, tir, outline, ill) count blocks."""
     hw = w > 0
 
     # --- frame shift into this surface's vertex frame ------------------
@@ -69,11 +87,43 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c, pol=None):
     py = jnp.where(adv, py + t0 * sy, py)
     pz = jnp.where(adv, pz + t0 * sz, pz)
 
+    ill = jnp.zeros_like(hw)
     if c["is_flat"]:
         # plane z=0 hit (geom.hit_plane); clamp shared below
         sz_ok = sz != 0
         t = jnp.where(sz_ok, -pz / jnp.where(sz_ok, sz, 1.0), jnp.inf)
         valid = jnp.isfinite(t) & (t >= -C_EPS)
+    elif c["is_asph"]:
+        # --- even asphere: bracketed Illinois false-position solve, the
+        # exact component form of geom.hit_newton (40 fixed iterations,
+        # same eps/bracket/contraction constants — deliberately unguarded
+        # sz=0 divisions propagate inf/nan into valid=False identically)
+        rho, k, coeff = c["rho"], c["k"], c["coeff"]
+        eps_b = C_EPS / 10.0
+        t1 = jnp.maximum((c["z_min"] - eps_b - pz) / sz, -C_EPS)
+        t2 = (c["z_max"] + eps_b - pz) / sz
+        f1 = _asph_sag_F(t1, px, py, pz, sx, sy, sz, rho, k, coeff)
+        f2 = _asph_sag_F(t2, px, py, pz, sx, sy, sz, rho, k, coeff)
+        ill = (f1 * f2 > 0.0) & hw
+
+        def nbody(i, carry):
+            t1, t2, f1, f2 = carry
+            denom = jnp.where(jnp.abs(f2 - f1) > N_EPS, f2 - f1, 1.0)
+            ts = t1 - f1 / denom * (t2 - t1)
+            mid = 0.5 * (t1 + t2)
+            inside = (ts > jnp.minimum(t1, t2)) & (ts < jnp.maximum(t1, t2))
+            ts = jnp.where(inside, ts, mid)
+            fs = _asph_sag_F(ts, px, py, pz, sx, sy, sz, rho, k, coeff)
+            use_left = f1 * fs <= 0.0
+            nt1 = jnp.where(use_left, t1, ts)
+            nf1 = jnp.where(use_left, 0.5 * f1, fs)   # Illinois m=0.5
+            nt2 = jnp.where(use_left, ts, t2)
+            nf2 = jnp.where(use_left, fs, 0.5 * f2)
+            return nt1, nt2, nf1, nf2
+
+        t1, t2, f1, f2 = jax.lax.fori_loop(0, 40, nbody, (t1, t2, f1, f2))
+        t = 0.5 * (t1 + t2)
+        valid = jnp.isfinite(t) & ~ill
     else:
 
         # --- conic root (geom.hit_conic: Citardauq + Newton polish) ----
@@ -144,11 +194,32 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c, pol=None):
     miss = hw & ~hit
     w = jnp.where(miss, 0.0, w)
 
-    # --- normal (geom.normal_conic / flat) -----------------------------
+    # --- normal (geom.normal_conic / normal_asphere / flat) ------------
     if c["is_flat"]:
         nx = jnp.zeros_like(px)
         ny = jnp.zeros_like(px)
         nz = jnp.ones_like(px)
+    elif c["is_asph"]:
+        # geom.normal_asphere: radial slope m = dsag/dr, n ∝ (−m/r·x,
+        # −m/r·y, 1) normalized
+        rho, k, coeff = c["rho"], c["k"], c["coeff"]
+        r2 = px * px + py * py
+        r = jnp.sqrt(jnp.maximum(r2, N_EPS * N_EPS))
+        root = jnp.sqrt(jnp.maximum(1.0 - (k + 1.0) * rho * rho * r * r,
+                                    N_EPS))
+        m = rho * r / root
+        dpoly = jnp.zeros_like(r2)
+        n_cf = len(coeff)
+        for i in range(n_cf - 1, -1, -1):
+            dpoly = dpoly * r2 + 2.0 * (i + 1.0) * coeff[i]
+        m = m + dpoly * r
+        mr = m / r
+        nxu = -mr * px
+        nyu = -mr * py
+        inv = 1.0 / jnp.sqrt(nxu * nxu + nyu * nyu + 1.0)
+        nx = nxu * inv
+        ny = nyu * inv
+        nz = inv
     else:
         rho, k = c["rho"], c["k"]
         r2 = px * px + py * py
@@ -243,7 +314,7 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c, pol=None):
     pz = jnp.where(outl, ppz + tmin * sz, pz)
     w = jnp.where(outl, 0.0, w)
 
-    return (px, py, pz, sx, sy, sz, w), pol, (miss, n_tir, outl)
+    return (px, py, pz, sx, sy, sz, w), pol, (miss, n_tir, outl, ill)
 
 
 def _make_kernel(consts, store, with_pol):
@@ -270,12 +341,13 @@ def _make_kernel(consts, store, with_pol):
         for j, c in enumerate(consts):
             n1 = med_r[j, 0]
             n2 = med_r[j, 1]
-            st, pol, (miss, tirb, outb) = _one_step(*st, n1, n2, c, pol=pol)
+            st, pol, (miss, tirb, outb, illb) = _one_step(*st, n1, n2, c,
+                                                          pol=pol)
             cnt_rows.append(jnp.stack([
                 jnp.sum(miss.astype(jnp.float32)),
                 jnp.sum(tirb.astype(jnp.float32)),
                 jnp.sum(outb.astype(jnp.float32)),
-                jnp.float32(0.0)]))
+                jnp.sum(illb.astype(jnp.float32))]))
             if store:
                 # sections are emitted in ABSOLUTE coordinates
                 ys_refs[0][j] = st[0] + c["ox"]
@@ -308,11 +380,13 @@ def conic_run_pallas(p, s, w, med, pol=None, *, consts, store=True,
         s/p polarization transport in-kernel (the pol benchmark path)
     :param consts: tuple of L per-step constant dicts (hashable: tuple of
         (key, value) pairs), each with rho, k, r, z_min, z_max, is_flat,
-        dx/dy/dz frame delta, ox/oy/oz applied origin, out (6 rel bounds)
+        is_asph (+ static ``coeff`` tuple for even aspheres), dx/dy/dz
+        frame delta, ox/oy/oz applied origin, out (6 rel bounds)
     :param store: also return per-step absolute positions and weights
         (and polarizations when ``pol`` is given)
-    :return: (p', s', w', pol'|None), (counts (L, 3) int32,
-        ys_p (L, N, 3)|None, ys_w (L, N)|None, ys_pol (L, N, 3)|None)
+    :return: (p', s', w', pol'|None), (counts (L, 4) int32 rows of
+        [miss, tir, outline, ill], ys_p (L, N, 3)|None, ys_w (L, N)|None,
+        ys_pol (L, N, 3)|None)
     """
     consts = tuple(dict(c) for c in consts)
     L = len(consts)
@@ -392,7 +466,7 @@ def conic_run_pallas(p, s, w, med, pol=None, *, consts, store=True,
     pol_new = jnp.stack(flat[7:10], axis=-1) if with_pol else None
     # per-block counts are exact in f32 (<= blk = TILE_ROWS*LANE); cast
     # BEFORE the cross-block sum so totals beyond 2^24 stay int-exact
-    counts = jnp.sum(out[n_state].astype(jnp.int32), axis=0)[:, :3]  # (L, 3)
+    counts = jnp.sum(out[n_state].astype(jnp.int32), axis=0)      # (L, 4)
     if not store:
         return (p_new, s_new, flat[6], pol_new), (counts, None, None, None)
     ys = [o.reshape(L, Np)[:, :N] for o in out[n_state + 1:]]

@@ -282,12 +282,22 @@ def _frame_chain(steps, dtype):
     return chain
 
 
-def _partition_runs(steps, sink_masks):
+def _partition_runs(steps, sink_masks, allow_asphere=False):
     """Split the step list into per-step segments and scannable
-    conic-refract runs (("step", [i]) / ("scan", [i..j]) entries)."""
+    conic-refract runs (("step", [i]) / ("scan", [i..j]) entries).
+
+    ``allow_asphere``: widen the scannable kinds to even aspheres — only
+    when the whole-run Pallas kernel (which handles them as unrolled
+    static steps, ops/pallas_run.py) will take the runs; the lax.scan
+    fallback cannot (heterogeneous hit solves would burden every scanned
+    step), so trace_bundle re-partitions such runs without aspheres when
+    kernel eligibility fails at dispatch."""
+    kinds = ("conic", "circle", "flat", "asphere") if allow_asphere \
+        else ("conic", "circle", "flat")
+
     def scannable(i):
         st = steps[i]
-        if st.action != "refract" or st.sfns.kind not in ("conic", "circle", "flat"):
+        if st.action != "refract" or st.sfns.kind not in kinds:
             return False
         for m in sink_masks:
             if m is None or (i < len(m) and m[i]):
@@ -339,6 +349,10 @@ def _conic_scan(steps, idxs, chain, outline64, n_tab, pairs,
     so it stays NaN-free in both passes, and ``where`` zeroes its
     cotangent.
     """
+    # aspheres reach scan runs only via the widened (kernel-bound)
+    # partition; scanning one as a conic would be silently wrong physics
+    assert all(steps[i].sfns.kind != "asphere" for i in idxs), \
+        "asphere step in a lax.scan run (kernel-only; repartition missing)"
     dt = p.dtype
     one = jnp.asarray(np.asarray(1.0, dtype=dt))
     zero = jnp.asarray(np.asarray(0.0, dtype=dt))
@@ -491,11 +505,35 @@ def _pallas_run_eligible(steps, idxs, p, s=None, w=None, pols=None,
         # (a test-only combination) keeps the XLA scan
         return False
     for i in idxs:
-        for key in ("pos", "rho", "k", "r", "z_min_rel", "z_max_rel"):
+        for key in ("pos", "rho", "k", "r", "z_min_rel", "z_max_rel",
+                    "coeff"):
             v = steps[i].sfns.params.get(key)
             if v is not None and not _is_concrete(v):
                 return False
     return True
+
+
+def _repartition_without_aspheres(steps, idxs):
+    """Fallback partition of a widened run whose kernel eligibility failed
+    at dispatch (e.g. diff-traced media discovered via n_tab): conic
+    sub-runs stay scannable, asphere steps unroll."""
+    out, buf = [], []
+
+    def flush():
+        if len(buf) >= MIN_SCAN_RUN:
+            out.append(("scan", list(buf)))
+        else:
+            out.extend(("step", [j]) for j in buf)
+        buf.clear()
+
+    for i in idxs:
+        if steps[i].sfns.kind == "asphere":
+            flush()
+            out.append(("step", [i]))
+        else:
+            buf.append(i)
+    flush()
+    return out
 
 
 # Longest run per kernel launch: the in-kernel media block and stored-
@@ -541,11 +579,14 @@ def _conic_run_pallas_dispatch(steps, idxs, chain, outline64, n_tab, pairs,
         pr = st.sfns.params
         pos_h, delta, origin = chain[i]
         out_rel = tuple(float(outline64[q] - origin[q // 2]) for q in range(6))
+        is_asph = st.sfns.kind == "asphere"
+        coeff = tuple(float(x) for x in np.asarray(pr["coeff"]).tolist()) \
+            if is_asph else ()
         consts.append(tuple(sorted(dict(
             rho=f(pr.get("rho"), 1.0), k=f(pr.get("k"), 0.0),
             r=f(pr.get("r"), 1.0),
             z_min=f(pr.get("z_min_rel"), 0.0), z_max=f(pr.get("z_max_rel"), 0.0),
-            is_flat=bool(st.sfns.is_flat),
+            is_flat=bool(st.sfns.is_flat), is_asph=is_asph, coeff=coeff,
             dx=float(delta[0]), dy=float(delta[1]), dz=float(delta[2]),
             ox=float(origin[0]), oy=float(origin[1]), oz=float(origin[2]),
             out=out_rel).items())))
@@ -561,12 +602,13 @@ def _conic_run_pallas_dispatch(steps, idxs, chain, outline64, n_tab, pairs,
     if no_pol:
         pols2 = pols
 
-    # per-step (N_INFOS,) rows from the kernel's (L, 3) counters
+    # per-step (N_INFOS,) rows from the kernel's (L, 4) counters
     L = len(idxs)
     run_infos = jnp.zeros((L, N_INFOS), dtype=jnp.int32)
     run_infos = run_infos.at[:, ABSORB_MISSING].set(counts[:, 0])
     run_infos = run_infos.at[:, TIR].set(counts[:, 1])
     run_infos = run_infos.at[:, OUTLINE_INTERSECTION].set(counts[:, 2])
+    run_infos = run_infos.at[:, ILL_COND].set(counts[:, 3])
     return p2, s2, w2, pols2, run_infos, ys_p, ys_w, ys_pol
 
 
@@ -615,7 +657,18 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
     # f32 position rounding stays O(eps·(gap+aperture)) instead of
     # O(eps·|z_absolute|) — see TraceStep.pos_host
     chain = _frame_chain(steps, p.dtype)
-    runs = _partition_runs(steps, [m for _, _, m in sink_list])
+    sink_masks = [m for _, _, m in sink_list]
+    # widen scannable runs to even aspheres only when the whole-run kernel
+    # will take them (it unrolls per-step static constants, so a rare
+    # asphere step costs only its own solve; the lax.scan fallback would
+    # pay the Newton solve on EVERY scanned step). Media tracers are not
+    # visible yet (n_tab below) — the per-run eligibility re-check plus
+    # _repartition_without_aspheres handles that case.
+    refract_idxs = [i for i, st in enumerate(steps) if st.action == "refract"]
+    allow_asphere = (
+        any(steps[i].sfns.kind == "asphere" for i in refract_idxs)
+        and _pallas_run_eligible(steps, refract_idxs, p, s, w, pols, None))
+    runs = _partition_runs(steps, sink_masks, allow_asphere=allow_asphere)
 
     # shared media table for the scanned runs: one (M, N) row per unique
     # medium, gathered by index inside the scan bodies
@@ -628,8 +681,20 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    for run_kind, run_idxs in runs:
+    from collections import deque
+    work = deque(runs)
+    while work:
+        run_kind, run_idxs = work.popleft()
         if run_kind == "scan":
+            if not _pallas_run_eligible(steps, run_idxs, p, s, w, pols,
+                                        n_tab) \
+                    and any(steps[i].sfns.kind == "asphere"
+                            for i in run_idxs):
+                # widened run, kernel refused at dispatch (e.g. traced
+                # media): conic sub-runs scan, asphere steps unroll
+                work.extendleft(
+                    reversed(_repartition_without_aspheres(steps, run_idxs)))
+                continue
             if _pallas_run_eligible(steps, run_idxs, p, s, w, pols, n_tab):
                 (p, s, w, pols, run_infos, run_p, run_w,
                  run_pol) = _conic_run_pallas_dispatch(

@@ -224,6 +224,78 @@ def test_material_and_source_grads_keep_xla_scan(interpret_mode):
     ot.global_options.pallas_trace = False
 
 
+def _build_asphere(no_pol=True):
+    """The _build scene with an even-asphere front on the middle lens, so
+    the widened kernel run covers asphere + conic + flat steps."""
+    RT = ot.Raytracer(outline=[-10, 10, -10, 10, -10, 80], no_pol=no_pol)
+    RT.add(ot.RaySource(ot.CircularSurface(r=1.5), divergence="Lambertian",
+                        div_angle=8, pos=[0, 0, -5],
+                        spectrum=ot.presets.light_spectrum.d65))
+    n1 = ot.presets.refraction_index.BK7
+    n2 = ot.presets.refraction_index.F2
+    RT.add(ot.Lens(ot.SphericalSurface(r=3, R=20), ot.SphericalSurface(r=3, R=-25),
+                   n=n1, pos=[0, 0, 0], d=1.0))
+    RT.add(ot.Lens(ot.AsphericSurface(r=3, R=30, k=-0.5, coeff=[2e-4, -1e-6]),
+                   ot.CircularSurface(r=3), n=n2, pos=[0, 0, 5], d=0.8))
+    RT.add(ot.Lens(ot.SphericalSurface(r=3, R=15), ot.SphericalSurface(r=3, R=-15),
+                   n=n1, pos=[0, 0, 10], d=1.2))
+    RT.add(ot.Detector(ot.RectangularSurface(dim=[8, 8]), pos=[0, 0, 40]))
+    return RT
+
+
+@pytest.mark.parametrize("no_pol", [True, False])
+def test_asphere_scene_parity(interpret_mode, no_pol):
+    """Asphere-bearing scene: the widened kernel run (asphere handled
+    in-kernel, VERDICT r4 #5) matches the default path (scan for conic
+    runs, unrolled Newton solve for the asphere steps)."""
+    N = 20000
+    with ot.global_options.no_warnings(), ot.global_options.no_progress_bar():
+        ot.global_options.pallas_trace = False
+        RT_a = _build_asphere(no_pol)
+        RT_a.trace(N)
+        ot.global_options.pallas_trace = True
+        RT_b = _build_asphere(no_pol)
+        RT_b.trace(N)
+        ot.global_options.pallas_trace = False
+
+    pa, pb = np.asarray(RT_a.rays.p_list), np.asarray(RT_b.rays.p_list)
+    np.testing.assert_allclose(pa, pb, rtol=5e-6, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(RT_a.rays.w_list),
+                               np.asarray(RT_b.rays.w_list), atol=1e-8)
+    assert (RT_a._msgs == RT_b._msgs).all()
+
+
+def test_asphere_media_grad_repartition(interpret_mode):
+    """Traced media over an asphere-widened scene: eligibility fails at
+    dispatch (operand tracers), the run must repartition (conic sub-runs
+    scan, asphere steps unroll) and still produce a finite, nonzero
+    gradient."""
+    import jax
+    import jax.numpy as jnp
+    from optrace_tpu.tracer.trace_core import trace_bundle
+
+    ot.global_options.pallas_trace = True
+    RT = _build_asphere()
+    RT.rays.init(RT.ray_sources, 512, len(RT.tracing_surfaces) + 2, True)
+    steps = RT._build_steps()
+    gen = RT._make_source_fn(512)
+    p, s, pols, w, wl = gen(jax.random.PRNGKey(0))
+    outline = tuple(float(v) for v in RT.outline)
+
+    def loss_media(dn):
+        def wrap(f):
+            return None if f is None else (lambda wl_: f(wl_) + dn)
+        steps_p = [st._replace(n1_fn=wrap(st.n1_fn), n2_fn=wrap(st.n2_fn))
+                   for st in steps]
+        out = trace_bundle(steps_p, RT.n0, outline, p, s, pols, w, wl,
+                           True, False)
+        return jnp.sum(out["p"][:, -1, 0] ** 2 * out["w"][:, -2])
+
+    g = jax.grad(loss_media)(jnp.float32(0.0))
+    assert np.isfinite(float(g)) and float(g) != 0.0
+    ot.global_options.pallas_trace = False
+
+
 def test_pol_path_matches_xla_scan(interpret_mode):
     """Full polarization transport through the kernel (s/p decomposition,
     A_ts/A_tp Fresnel weights) matches the XLA scan."""

@@ -48,6 +48,10 @@ def _scan_step_reference(p, s, w, n1, n2, c, pol=None):
     if c["is_flat"]:
         t = geom.hit_plane(ps, s)
         valid = jnp.isfinite(t) & (t >= -geom.C_EPS)
+    elif c.get("is_asph"):
+        def sag(x, y):
+            return geom.sag_asphere(x, y, c["rho"], c["k"], list(c["coeff"]))
+        t, valid, _ = geom.hit_newton(sag, ps, s, c["z_min"], c["z_max"])
     else:
         t, valid = geom.hit_conic(ps, s, c["rho"], c["k"],
                                   c["z_min"], c["z_max"])
@@ -61,6 +65,9 @@ def _scan_step_reference(p, s, w, n1, n2, c, pol=None):
 
     if c["is_flat"]:
         nvec = geom.normal_flat(p[:, 0], p[:, 1])
+    elif c.get("is_asph"):
+        nvec = geom.normal_asphere(p[:, 0], p[:, 1], c["rho"], c["k"],
+                                   list(c["coeff"]))
     else:
         nvec = geom.normal_conic(p[:, 0], p[:, 1], c["rho"], c["k"])
     no_pol = pol is None
@@ -75,7 +82,7 @@ def _kernel_step(p, s, w, n1, n2, c, pol=None):
     args = [jnp.asarray(a) for a in
             (p[:, 0], p[:, 1], p[:, 2], s[:, 0], s[:, 1], s[:, 2], w)]
     pol_t = None if pol is None else (pol[:, 0], pol[:, 1], pol[:, 2])
-    (px, py, pz, sx, sy, sz, w2), pol2, (miss, tir, outl) = _one_step(
+    (px, py, pz, sx, sy, sz, w2), pol2, (miss, tir, outl, ill) = _one_step(
         *args, jnp.asarray(n1), jnp.asarray(n2), c, pol=pol_t)
     p2 = jnp.stack([px, py, pz], axis=-1)
     s2 = jnp.stack([sx, sy, sz], axis=-1)
@@ -106,6 +113,7 @@ def _assert_step_parity(p, s, w, n1, n2, c, pol=None, atol=1e-6):
 
 def _const(**kw):
     c = dict(rho=0.05, k=-0.5, r=2.5, z_min=0.0, z_max=0.2, is_flat=False,
+             is_asph=False, coeff=(),
              dx=0.0, dy=0.0, dz=0.0, ox=0.0, oy=0.0, oz=0.0,
              out=(-100.0, 100.0, -100.0, 100.0, -100.0, 100.0))
     c.update(kw)
@@ -295,6 +303,49 @@ def test_dead_rays_only_frame_shift(with_pol):
     np.testing.assert_allclose(np.asarray(wk), 0.0, atol=0)
     if with_pol:
         np.testing.assert_allclose(np.asarray(qk), pol, atol=0)
+
+
+@pytest.mark.parametrize("with_pol", [False, True])
+def test_asphere_step_parity(with_pol):
+    """Even-asphere step: the kernel's bracketed Illinois solve + radial-
+    derivative normal must match geom.hit_newton/normal_asphere through
+    the shared refract/outline blocks (hits, aperture misses, behind-
+    surface, dead rays in one bundle)."""
+    p1, s1, w1 = _radial_bundle(n=48, r_max=2.3)
+    p2, s2, w2 = _radial_bundle(n=16, r_max=4.0)    # aperture misses
+    p3, s3, _ = _radial_bundle(n=8)
+    w3 = np.zeros(8, np.float32)                    # dead rays
+    p = np.concatenate([p1, p2, p3])
+    s = np.concatenate([s1, s2, s3])
+    w = np.concatenate([w1, w2, w3])
+    c = _const(is_asph=True, coeff=(2e-4, -3e-6), z_max=0.35)
+    n1 = np.full(p.shape[0], 1.0, np.float32)
+    n2 = np.full(p.shape[0], 1.52, np.float32)
+    pol = _pol_for(s) if with_pol else None
+    _, (miss, _, _) = _assert_step_parity(p, s, w, n1, n2, c, pol,
+                                          atol=2e-5)
+    assert 0 < miss < p.shape[0]
+
+
+def test_asphere_behind_surface_and_ill():
+    """Asphere bracket without a sign change (ill) and rays starting past
+    z_max: identical clamping/counting on both paths."""
+    # rays behind the surface
+    pb, sb, wb = _radial_bundle(n=16, z0=1.0)
+    c = _const(is_asph=True, coeff=(2e-4,), z_max=0.35)
+    n1 = np.full(16, 1.0, np.float32)
+    n2 = np.full(16, 1.5, np.float32)
+    pk, (miss, _, _) = _assert_step_parity(pb, sb, wb, n1, n2, c)
+    assert miss == 16
+    # lateral rays that never cross the sag inside the z-bracket (ill)
+    n = 8
+    p = np.tile(np.array([3.5, 0.0, -0.5], np.float32), (n, 1))
+    s = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (n, 1))
+    w = np.full(n, 1.0, np.float32)
+    # aperture r=5 so the miss is decided by the solve, not the mask
+    c2 = _const(is_asph=True, coeff=(2e-4,), r=5.0, z_max=0.35)
+    _assert_step_parity(p, s, w, np.full(n, 1.0, np.float32),
+                        np.full(n, 1.5, np.float32), c2)
 
 
 @pytest.mark.parametrize("with_pol", [False, True])
