@@ -213,6 +213,137 @@ def _time_fused(RT, N=None, reps=3, K=4):
     return marg, N
 
 
+def _time_grad_step(reps=2, K=3):
+    """Marginal time of ONE value_and_grad design step: the parameterized
+    double-gauss render (the dryrun's flagship config) at real N, loss =
+    image power, gradients w.r.t. every surface parameter (VERDICT r4 #3
+    — the differentiable-design path previously had no measured number).
+    Returns (t_marginal, N, n_surfaces)."""
+    import jax.numpy as jnp
+    from __graft_entry__ import _build_scene
+    from optrace_tpu.tracer.diff import make_parameterized_render
+
+    RT = _build_scene()
+    N = int(os.environ.get("BENCH_GRAD_N", "250000"))
+    n_surf = len(RT.tracing_surfaces)
+    render, params0 = make_parameterized_render(RT, N, extent=(-2, 2, -2, 2),
+                                                Nx=189, Ny=189)
+
+    def loss(params, key):
+        return jnp.sum(render(params, key)[:, :, 3])
+
+    vg = jax.value_and_grad(loss)
+
+    def mk(k_reps):
+        @jax.jit
+        def f(key):
+            def body(i, acc):
+                l, g = vg(params0, jax.random.fold_in(key, i))
+                # touch every grad leaf so no part of the backward is DCE'd
+                gs = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+                return acc + l + gs
+            return jax.lax.fori_loop(0, k_reps, body, jnp.float32(0.0))
+        return f
+
+    t_at = {}
+    for k_reps in (1, K):
+        f = mk(k_reps)
+        float(f(jax.random.PRNGKey(0)))       # warmup/compile + full sync
+        t0 = time.perf_counter()
+        for i in range(reps):
+            float(f(jax.random.PRNGKey(i + 1)))
+        t_at[k_reps] = (time.perf_counter() - t0) / reps
+    marg = (t_at[K] - t_at[1]) / (K - 1)
+    if marg <= 0:
+        marg = t_at[K] / K
+    return marg, N, n_surf
+
+
+def build_asphere_scene():
+    """Asphere-bearing stack (10 lenses, even-asphere fronts): records
+    where non-conic scenes land now that the whole-run kernel covers even
+    aspheres (VERDICT r4 #5; cf. keratoconus-style eye surfaces)."""
+    import optrace_tpu as ot
+
+    RT = ot.Raytracer(outline=[-50, 50, -50, 50, -5, 320], no_pol=True)
+    RT.add(ot.RaySource(ot.CircularSurface(r=4), divergence="Lambertian",
+                        pos=[0, 0, 0], s=[0, 0, 1], div_angle=8,
+                        spectrum=ot.presets.light_spectrum.d65))
+    glasses = [ot.presets.refraction_index.BK7, ot.presets.refraction_index.F2]
+    z = 10.0
+    for i in range(10):
+        front = ot.AsphericSurface(r=8, R=60.0 if i % 2 == 0 else 80.0,
+                                   k=-0.8, coeff=[1e-5, -1e-8])
+        back = ot.SphericalSurface(r=8, R=-70.0 if i % 2 == 0 else -90.0)
+        RT.add(ot.Lens(front, back, n=glasses[i % 2], de=0.5, pos=[0, 0, z]))
+        z += 15.0
+    return RT
+
+
+def check_sharded_kernel(N=8192):
+    """Compiled-Pallas-under-shard_map parity (VERDICT r4 #1c): trace the
+    SAME bundle through shard_map over a 1-device 'rays' mesh with the
+    whole-run kernel vs the unsharded XLA scan, compare stored sections.
+    First real evidence for the kernel's vma plumbing — only compiled TPU
+    pallas runs under meshes (interpret mode falls back by design)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    import optrace_tpu as ot
+    from optrace_tpu.tracer.trace_core import trace_bundle
+
+    if jax.default_backend() != "tpu":
+        return {"sharded_kernel_parity": "skipped (needs compiled TPU pallas)"}
+
+    RT = ot.Raytracer(outline=[-10, 10, -10, 10, -10, 80], no_pol=True)
+    RT.add(ot.RaySource(ot.CircularSurface(r=1.5), divergence="Lambertian",
+                        div_angle=8, pos=[0, 0, -5],
+                        spectrum=ot.presets.light_spectrum.d65))
+    n1 = ot.presets.refraction_index.BK7
+    RT.add(ot.Lens(ot.SphericalSurface(r=3, R=20), ot.SphericalSurface(r=3, R=-25),
+                   n=n1, pos=[0, 0, 0], d=1.0))
+    RT.add(ot.Lens(ot.ConicSurface(r=3, R=30, k=-0.5), ot.CircularSurface(r=3),
+                   n=ot.presets.refraction_index.F2, pos=[0, 0, 5], d=0.8))
+    RT.add(ot.Lens(ot.SphericalSurface(r=3, R=15), ot.SphericalSurface(r=3, R=-15),
+                   n=n1, pos=[0, 0, 10], d=1.2))
+
+    RT.rays.init(RT.ray_sources, N, len(RT.tracing_surfaces) + 2, True)
+    steps = RT._build_steps()
+    gen = RT._make_source_fn(N)
+    p, s, pols, w, wl = gen(jax.random.PRNGKey(7))
+    outline = tuple(float(v) for v in RT.outline)
+
+    def tr(p, s, pols, w, wl):
+        out = trace_bundle(steps, RT.n0, outline, p, s, pols, w, wl,
+                           True, False)
+        return out["p"], out["w"]
+
+    was = __import__("optrace_tpu").global_options.pallas_trace
+    try:
+        ot.global_options.pallas_trace = False
+        p_ref, w_ref = jax.jit(tr)(p, s, pols, w, wl)
+        p_ref, w_ref = np.asarray(p_ref), np.asarray(w_ref)
+
+        ot.global_options.pallas_trace = True
+        mesh = Mesh(np.array(jax.devices()[:1]), ("rays",))
+        sharded = partial(shard_map, mesh=mesh,
+                          in_specs=(P("rays"),) * 5,
+                          out_specs=(P("rays"), P("rays")))(tr)
+        p_sh, w_sh = jax.jit(sharded)(p, s, pols, w, wl)
+        p_sh, w_sh = np.asarray(p_sh), np.asarray(w_sh)
+    finally:
+        ot.global_options.pallas_trace = was
+
+    dp = float(np.abs(p_sh - p_ref).max())
+    dw = float(np.abs(w_sh - w_ref).max())
+    ok = bool(dp < 5e-4 and dw < 1e-6 and np.isfinite(p_sh).all())
+    return {"sharded_kernel_parity": ok,
+            "sharded_kernel_maxdiff_p": round(dp, 8),
+            "sharded_kernel_maxdiff_w": round(dw, 10)}
+
+
 def scaling_main(n_dev: int, timed: bool = True):
     """One leg of the weak-scaling probe ON THE BENCHMARK SCENE: fused
     sharded render of N_PER_DEV rays per device through the 57-surface
@@ -252,14 +383,26 @@ def scaling_main(n_dev: int, timed: bool = True):
             return
         out = step(jax.random.PRNGKey(99))         # warmup (cache warm, no jit)
         jax.block_until_ready(out)
+        # >=30 s of timed steps per leg (VERDICT r4 #6: the old min-of-3
+        # over ~3.4 s legs was one loaded core away from noise); report
+        # median + spread so the efficiency statistic is robust
+        leg_budget = float(os.environ.get("BENCH_SCALING_LEG_S", "32"))
         reps = []
-        for i in range(3):
+        t_leg = time.monotonic()
+        i = 0
+        while (time.monotonic() - t_leg < leg_budget or len(reps) < 3) \
+                and len(reps) < 60:
             t0 = time.perf_counter()
             out = step(jax.random.PRNGKey(i + 1))
             jax.block_until_ready(out)
             reps.append(time.perf_counter() - t0)
-    print(json.dumps({"n_dev": n_dev, "t_s": round(min(reps), 4),
-                      "reps_s": [round(r, 4) for r in reps],
+            i += 1
+    med = float(np.median(reps))
+    spread = (max(reps) - min(reps)) / med
+    print(json.dumps({"n_dev": n_dev, "t_s": round(med, 4),
+                      "t_min_s": round(min(reps), 4),
+                      "spread": round(spread, 4), "n_reps": len(reps),
+                      "reps_s": [round(r, 4) for r in reps[:12]],
                       "rays_per_dev": N_PER_DEV}))
 
 
@@ -306,10 +449,19 @@ def _measure_scaling(deadline_s: float = 420):
             times[nd] = leg
     if 1 not in times or 2 not in times:
         return None
+    # medians over >=30 s of steps per leg are the primary statistic;
+    # min-of-reps kept as a secondary field (VERDICT r4 #6)
     eff = times[1]["t_s"] / times[2]["t_s"]
+    eff_min = (times[1].get("t_min_s", times[1]["t_s"])
+               / times[2].get("t_min_s", times[2]["t_s"]))
     return {"scaling_efficiency": round(eff, 3),
-            "t_1dev_1core_s": times[1]["t_s"],
-            "t_2dev_2core_s": times[2]["t_s"],
+            "scaling_efficiency_min_based": round(eff_min, 3),
+            "t_1dev_1core_s": {"median": times[1]["t_s"],
+                               "spread": times[1].get("spread"),
+                               "n_reps": times[1].get("n_reps")},
+            "t_2dev_2core_s": {"median": times[2]["t_s"],
+                               "spread": times[2].get("spread"),
+                               "n_reps": times[2].get("n_reps")},
             "reps_1dev_s": times[1].get("reps_s"),
             "reps_2dev_s": times[2].get("reps_s"),
             "rays_per_dev": times[1]["rays_per_dev"]}
@@ -541,10 +693,42 @@ def main():
         return {"xla_scan_value": round(s_x, 6),
                 "xla_scan_vs_baseline": round(BASELINE_S_PER_SURFACE_PER_MRAY / s_x, 2)}
 
+    # --- compiled-pallas-under-shard_map parity (VERDICT r4 #1c) ----------
+    def run_sharded_parity():
+        import optrace_tpu as ot
+        with ot.global_options.no_warnings(), ot.global_options.no_progress_bar():
+            return check_sharded_kernel()
+
+    # --- asphere-bearing scene (VERDICT r4 #5: where non-conic scenes
+    # land now that the kernel covers even aspheres) -----------------------
+    def run_asphere():
+        import optrace_tpu as ot
+        with ot.global_options.no_warnings(), ot.global_options.no_progress_bar():
+            RT_a = build_asphere_scene()
+            ns = len(RT_a.tracing_surfaces)
+            dt_a, N_a = _time_trace(RT_a)
+        s_a = dt_a / ns / (N_a / 1e6)
+        return {"asphere_scene_s_per_surface_Mray": round(s_a, 6),
+                "asphere_scene_vs_baseline":
+                    round(BASELINE_S_PER_SURFACE_PER_MRAY / s_a, 2),
+                "asphere_scene_n_surfaces": ns}
+
+    # --- differentiable-design step (VERDICT r4 #3) -----------------------
+    def run_grad_step():
+        import optrace_tpu as ot
+        with ot.global_options.no_warnings(), ot.global_options.no_progress_bar():
+            dt_g, N_g, ns_g = _time_grad_step()
+        s_g = dt_g / ns_g / (N_g / 1e6)
+        return {"grad_step_s_per_surface_Mray": round(s_g, 6),
+                "grad_step_N": N_g, "grad_step_n_surfaces": ns_g}
+
     section("xla_scan", 300, run_xla_scan)
     section("pol", 300, run_pol)
     section("fused", 240, run_fused)
-    section("scaling", 240, run_scaling)
+    section("sharded_parity", 150, run_sharded_parity)
+    section("asphere", 240, run_asphere)
+    section("grad_step", 300, run_grad_step)
+    section("scaling", 300, run_scaling)
 
     # --- kernel probes (subprocess-isolated, opt-in: measured and recorded
     # in round 3 -- BENCH_FULL=1 reruns them; the default run keeps the

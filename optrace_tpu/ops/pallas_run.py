@@ -186,7 +186,8 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c, pol=None):
     hy = py + t_safe * sy
     hz = pz + t_safe * sz
     r_ap = c["r"]
-    hit = (hx * hx + hy * hy <= (r_ap + N_EPS) ** 2) & ok & hw
+    r2h = hx * hx + hy * hy     # reused by the conic/asphere normal below
+    hit = (r2h <= (r_ap + N_EPS) ** 2) & ok & hw
     px = jnp.where(hw, hx, px)
     py = jnp.where(hw, hy, py)
     pz = jnp.where(hw, hz, pz)
@@ -201,9 +202,11 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c, pol=None):
         nz = jnp.ones_like(px)
     elif c["is_asph"]:
         # geom.normal_asphere: radial slope m = dsag/dr, n ∝ (−m/r·x,
-        # −m/r·y, 1) normalized
+        # −m/r·y, 1) normalized. r² reuses the aperture-mask product —
+        # valid because the normal is only consumed under hit/upd masks,
+        # where p == (hx, hy)
         rho, k, coeff = c["rho"], c["k"], c["coeff"]
-        r2 = px * px + py * py
+        r2 = r2h
         r = jnp.sqrt(jnp.maximum(r2, N_EPS * N_EPS))
         root = jnp.sqrt(jnp.maximum(1.0 - (k + 1.0) * rho * rho * r * r,
                                     N_EPS))
@@ -222,7 +225,7 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c, pol=None):
         nz = inv
     else:
         rho, k = c["rho"], c["k"]
-        r2 = px * px + py * py
+        r2 = r2h                    # == px²+py² wherever the normal is used
         arg = 1.0 - k * rho * rho * r2
         den = jnp.sqrt(jnp.where(arg > N_EPS, arg, N_EPS))
         nx = -rho * px / den
