@@ -63,6 +63,7 @@ def run_example(name):
                                 "IOL_pinhole_1.50D.png"]),
     ("IOL_target_imaging.py", ["IOL_target_0.01D.png", "IOL_target_0.75D.png",
                                "IOL_target_1.50D.png"]),
+    ("lens_optimization.py", ["lens_optimization.png"]),
 ])
 def test_example(example_env, script, outputs):
     run_example(script)
