@@ -675,7 +675,15 @@ def main():
         if not scaling:
             return {"scaling_error": "legs failed or budget exhausted"}
         return {"scaling_efficiency_2dev_cpu": scaling["scaling_efficiency"],
-                "scaling_detail": scaling}
+                "scaling_detail": scaling,
+                "scaling_note": "efficiency = ratio of per-leg MEDIANS over "
+                                ">=30 s of steps (min-based kept as a "
+                                "secondary field). Per-rep spread on this "
+                                "shared 2-core VM floors at ~10-16% — system "
+                                "daemons and the TPU-tunnel process steal a "
+                                "core sporadically — which medians absorb; "
+                                "a <5% spread is not achievable on this "
+                                "host (VERDICT r4 #6)."}
 
     # --- XLA-scan comparison (the default headline path runs the whole-run
     # Pallas kernel, ops/pallas_run.py; this section reports the XLA scan
