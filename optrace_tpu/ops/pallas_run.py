@@ -93,6 +93,15 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c, pol=None):
         sz_ok = sz != 0
         t = jnp.where(sz_ok, -pz / jnp.where(sz_ok, sz, 1.0), jnp.inf)
         valid = jnp.isfinite(t) & (t >= -C_EPS)
+    elif c["is_tilt"]:
+        # tilted plane through the vertex with static unit normal
+        # (component form of scene_compile.tilt_hit — the deliberately
+        # unguarded division propagates den=0 into valid=False)
+        tnx, tny, tnz = c["tn"]
+        num = -(px * tnx + py * tny + pz * tnz)
+        den = sx * tnx + sy * tny + sz * tnz
+        t = num / den
+        valid = jnp.isfinite(t) & (den != 0)
     elif c["is_asph"]:
         # --- even asphere: bracketed Illinois false-position solve, the
         # exact component form of geom.hit_newton (40 fixed iterations,
@@ -195,11 +204,16 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c, pol=None):
     miss = hw & ~hit
     w = jnp.where(miss, 0.0, w)
 
-    # --- normal (geom.normal_conic / normal_asphere / flat) ------------
+    # --- normal (geom.normal_conic / normal_asphere / tilted / flat) ---
     if c["is_flat"]:
         nx = jnp.zeros_like(px)
         ny = jnp.zeros_like(px)
         nz = jnp.ones_like(px)
+    elif c["is_tilt"]:
+        tnx, tny, tnz = c["tn"]
+        nx = jnp.full_like(px, tnx)
+        ny = jnp.full_like(px, tny)
+        nz = jnp.full_like(px, tnz)
     elif c["is_asph"]:
         # geom.normal_asphere: radial slope m = dsag/dr, n ∝ (−m/r·x,
         # −m/r·y, 1) normalized. r² reuses the aperture-mask product —

@@ -282,18 +282,23 @@ def _frame_chain(steps, dtype):
     return chain
 
 
-def _partition_runs(steps, sink_masks, allow_asphere=False):
+# step kinds only the whole-run Pallas kernel can execute inside a run
+# (the lax.scan fallback cannot: heterogeneous hit solves would burden
+# every scanned step)
+KERNEL_ONLY_KINDS = ("asphere", "tilted")
+
+
+def _partition_runs(steps, sink_masks, allow_kernel_kinds=False):
     """Split the step list into per-step segments and scannable
     conic-refract runs (("step", [i]) / ("scan", [i..j]) entries).
 
-    ``allow_asphere``: widen the scannable kinds to even aspheres — only
-    when the whole-run Pallas kernel (which handles them as unrolled
-    static steps, ops/pallas_run.py) will take the runs; the lax.scan
-    fallback cannot (heterogeneous hit solves would burden every scanned
-    step), so trace_bundle re-partitions such runs without aspheres when
-    kernel eligibility fails at dispatch."""
-    kinds = ("conic", "circle", "flat", "asphere") if allow_asphere \
-        else ("conic", "circle", "flat")
+    ``allow_kernel_kinds``: widen the scannable kinds to the
+    KERNEL_ONLY_KINDS (even aspheres, tilted planes) — only when the
+    whole-run Pallas kernel (which handles them as unrolled static
+    steps, ops/pallas_run.py) will take the runs; trace_bundle
+    re-partitions such runs when kernel eligibility fails at dispatch."""
+    kinds = ("conic", "circle", "flat") + KERNEL_ONLY_KINDS \
+        if allow_kernel_kinds else ("conic", "circle", "flat")
 
     def scannable(i):
         st = steps[i]
@@ -349,10 +354,10 @@ def _conic_scan(steps, idxs, chain, outline64, n_tab, pairs,
     so it stays NaN-free in both passes, and ``where`` zeroes its
     cotangent.
     """
-    # aspheres reach scan runs only via the widened (kernel-bound)
-    # partition; scanning one as a conic would be silently wrong physics
-    assert all(steps[i].sfns.kind != "asphere" for i in idxs), \
-        "asphere step in a lax.scan run (kernel-only; repartition missing)"
+    # kernel-only kinds reach scan runs only via the widened partition;
+    # scanning one as a conic would be silently wrong physics
+    assert all(steps[i].sfns.kind not in KERNEL_ONLY_KINDS for i in idxs), \
+        "kernel-only step in a lax.scan run (repartition missing)"
     dt = p.dtype
     one = jnp.asarray(np.asarray(1.0, dtype=dt))
     zero = jnp.asarray(np.asarray(0.0, dtype=dt))
@@ -506,17 +511,17 @@ def _pallas_run_eligible(steps, idxs, p, s=None, w=None, pols=None,
         return False
     for i in idxs:
         for key in ("pos", "rho", "k", "r", "z_min_rel", "z_max_rel",
-                    "coeff"):
+                    "coeff", "normal"):
             v = steps[i].sfns.params.get(key)
             if v is not None and not _is_concrete(v):
                 return False
     return True
 
 
-def _repartition_without_aspheres(steps, idxs):
+def _repartition_without_kernel_kinds(steps, idxs):
     """Fallback partition of a widened run whose kernel eligibility failed
     at dispatch (e.g. diff-traced media discovered via n_tab): conic
-    sub-runs stay scannable, asphere steps unroll."""
+    sub-runs stay scannable, kernel-only steps (aspheres, tilted) unroll."""
     out, buf = [], []
 
     def flush():
@@ -527,7 +532,7 @@ def _repartition_without_aspheres(steps, idxs):
         buf.clear()
 
     for i in idxs:
-        if steps[i].sfns.kind == "asphere":
+        if steps[i].sfns.kind in KERNEL_ONLY_KINDS:
             flush()
             out.append(("step", [i]))
         else:
@@ -580,13 +585,17 @@ def _conic_run_pallas_dispatch(steps, idxs, chain, outline64, n_tab, pairs,
         pos_h, delta, origin = chain[i]
         out_rel = tuple(float(outline64[q] - origin[q // 2]) for q in range(6))
         is_asph = st.sfns.kind == "asphere"
+        is_tilt = st.sfns.kind == "tilted"
         coeff = tuple(float(x) for x in np.asarray(pr["coeff"]).tolist()) \
             if is_asph else ()
+        tn = tuple(float(x) for x in np.asarray(pr["normal"]).tolist()) \
+            if is_tilt else (0.0, 0.0, 1.0)
         consts.append(tuple(sorted(dict(
             rho=f(pr.get("rho"), 1.0), k=f(pr.get("k"), 0.0),
             r=f(pr.get("r"), 1.0),
             z_min=f(pr.get("z_min_rel"), 0.0), z_max=f(pr.get("z_max_rel"), 0.0),
             is_flat=bool(st.sfns.is_flat), is_asph=is_asph, coeff=coeff,
+            is_tilt=is_tilt, tn=tn,
             dx=float(delta[0]), dy=float(delta[1]), dz=float(delta[2]),
             ox=float(origin[0]), oy=float(origin[1]), oz=float(origin[2]),
             out=out_rel).items())))
@@ -658,17 +667,19 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
     # O(eps·|z_absolute|) — see TraceStep.pos_host
     chain = _frame_chain(steps, p.dtype)
     sink_masks = [m for _, _, m in sink_list]
-    # widen scannable runs to even aspheres only when the whole-run kernel
-    # will take them (it unrolls per-step static constants, so a rare
-    # asphere step costs only its own solve; the lax.scan fallback would
-    # pay the Newton solve on EVERY scanned step). Media tracers are not
-    # visible yet (n_tab below) — the per-run eligibility re-check plus
-    # _repartition_without_aspheres handles that case.
+    # widen scannable runs to the kernel-only kinds (aspheres, tilted
+    # planes) only when the whole-run kernel will take them (it unrolls
+    # per-step static constants, so a rare heterogeneous step costs only
+    # its own solve; the lax.scan fallback would pay it on EVERY scanned
+    # step). Media tracers are not visible yet (n_tab below) — the
+    # per-run eligibility re-check plus _repartition_without_kernel_kinds
+    # handles that case.
     refract_idxs = [i for i, st in enumerate(steps) if st.action == "refract"]
-    allow_asphere = (
-        any(steps[i].sfns.kind == "asphere" for i in refract_idxs)
+    allow_kernel_kinds = (
+        any(steps[i].sfns.kind in KERNEL_ONLY_KINDS for i in refract_idxs)
         and _pallas_run_eligible(steps, refract_idxs, p, s, w, pols, None))
-    runs = _partition_runs(steps, sink_masks, allow_asphere=allow_asphere)
+    runs = _partition_runs(steps, sink_masks,
+                           allow_kernel_kinds=allow_kernel_kinds)
 
     # shared media table for the scanned runs: one (M, N) row per unique
     # medium, gathered by index inside the scan bodies
@@ -688,12 +699,12 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
         if run_kind == "scan":
             if not _pallas_run_eligible(steps, run_idxs, p, s, w, pols,
                                         n_tab) \
-                    and any(steps[i].sfns.kind == "asphere"
+                    and any(steps[i].sfns.kind in KERNEL_ONLY_KINDS
                             for i in run_idxs):
                 # widened run, kernel refused at dispatch (e.g. traced
-                # media): conic sub-runs scan, asphere steps unroll
-                work.extendleft(
-                    reversed(_repartition_without_aspheres(steps, run_idxs)))
+                # media): conic sub-runs scan, kernel-only steps unroll
+                work.extendleft(reversed(
+                    _repartition_without_kernel_kinds(steps, run_idxs)))
                 continue
             if _pallas_run_eligible(steps, run_idxs, p, s, w, pols, n_tab):
                 (p, s, w, pols, run_infos, run_p, run_w,

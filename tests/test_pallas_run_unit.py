@@ -48,6 +48,13 @@ def _scan_step_reference(p, s, w, n1, n2, c, pol=None):
     if c["is_flat"]:
         t = geom.hit_plane(ps, s)
         valid = jnp.isfinite(t) & (t >= -geom.C_EPS)
+    elif c.get("is_tilt"):
+        # the exact form of scene_compile.tilt_hit (unguarded division)
+        tn = c["tn"]
+        num = -(ps[:, 0] * tn[0] + ps[:, 1] * tn[1] + ps[:, 2] * tn[2])
+        den = s[:, 0] * tn[0] + s[:, 1] * tn[1] + s[:, 2] * tn[2]
+        t = num / den
+        valid = jnp.isfinite(t) & (den != 0)
     elif c.get("is_asph"):
         def sag(x, y):
             return geom.sag_asphere(x, y, c["rho"], c["k"], list(c["coeff"]))
@@ -65,6 +72,9 @@ def _scan_step_reference(p, s, w, n1, n2, c, pol=None):
 
     if c["is_flat"]:
         nvec = geom.normal_flat(p[:, 0], p[:, 1])
+    elif c.get("is_tilt"):
+        nvec = jnp.broadcast_to(jnp.asarray(c["tn"], p.dtype),
+                                (p.shape[0], 3))
     elif c.get("is_asph"):
         nvec = geom.normal_asphere(p[:, 0], p[:, 1], c["rho"], c["k"],
                                    list(c["coeff"]))
@@ -113,7 +123,7 @@ def _assert_step_parity(p, s, w, n1, n2, c, pol=None, atol=1e-6):
 
 def _const(**kw):
     c = dict(rho=0.05, k=-0.5, r=2.5, z_min=0.0, z_max=0.2, is_flat=False,
-             is_asph=False, coeff=(),
+             is_asph=False, coeff=(), is_tilt=False, tn=(0.0, 0.0, 1.0),
              dx=0.0, dy=0.0, dz=0.0, ox=0.0, oy=0.0, oz=0.0,
              out=(-100.0, 100.0, -100.0, 100.0, -100.0, 100.0))
     c.update(kw)
@@ -346,6 +356,50 @@ def test_asphere_behind_surface_and_ill():
     c2 = _const(is_asph=True, coeff=(2e-4,), r=5.0, z_max=0.35)
     _assert_step_parity(p, s, w, np.full(n, 1.0, np.float32),
                         np.full(n, 1.5, np.float32), c2)
+
+
+@pytest.mark.parametrize("with_pol", [False, True])
+def test_tilted_step_parity(with_pol):
+    """Tilted-plane step: static-normal hit and constant normal must
+    match the unrolled path's tilt solve through the shared
+    refract/clamp/outline blocks."""
+    p1, s1, w1 = _radial_bundle(n=48, z0=-1.0)
+    p2, s2, w2 = _radial_bundle(n=16, r_max=4.0)    # aperture misses
+    p = np.concatenate([p1, p2])
+    s = np.concatenate([s1, s2])
+    w = np.concatenate([w1, w2])
+    th = np.radians(12.0)
+    tn = (0.0, float(np.sin(th)), float(np.cos(th)))
+    # z-range of the tilted disc: +/- r*sin(theta)
+    zr = 2.5 * float(np.sin(th))
+    c = _const(is_tilt=True, tn=tn, z_min=-zr, z_max=zr, r=2.5)
+    n1 = np.full(p.shape[0], 1.0, np.float32)
+    n2 = np.full(p.shape[0], 1.52, np.float32)
+    pol = _pol_for(s) if with_pol else None
+    pk, (miss, _, _) = _assert_step_parity(p, s, w, n1, n2, c, pol)
+    assert 0 < miss < p.shape[0]
+    # hits lie on the plane through the vertex: p·n == 0
+    x = np.asarray(pk)[: p1.shape[0]]
+    resid = np.abs(x @ np.asarray(tn))
+    assert np.median(resid) < 1e-5
+
+
+def test_tilted_grazing_direction():
+    """Rays nearly parallel to the tilted plane (den -> 0): both paths
+    must agree on the inf/invalid handling and clamp identically."""
+    th = np.radians(30.0)
+    tn = (0.0, float(np.sin(th)), float(np.cos(th)))
+    n = 8
+    p = np.zeros((n, 3), np.float32)
+    p[:, 2] = -0.5
+    # direction inside the plane: s ⟂ n
+    s = np.tile(np.array([0.0, float(np.cos(th)), -float(np.sin(th))],
+                         np.float32), (n, 1))
+    w = np.full(n, 1.0, np.float32)
+    zr = 2.5 * float(np.sin(th))
+    c = _const(is_tilt=True, tn=tn, z_min=-zr, z_max=zr, r=2.5)
+    _assert_step_parity(p, s, w, np.full(n, 1.0, np.float32),
+                        np.full(n, 1.5, np.float32), c)
 
 
 @pytest.mark.parametrize("with_pol", [False, True])
