@@ -196,11 +196,40 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c, pol=None):
     hz = pz + t_safe * sz
     r_ap = c["r"]
     r2h = hx * hx + hy * hy     # reused by the conic/asphere normal below
-    hit = (r2h <= (r_ap + N_EPS) ** 2) & ok & hw
     px = jnp.where(hw, hx, px)
     py = jnp.where(hw, hy, py)
     pz = jnp.where(hw, hz, pz)
 
+    if c["action"] == "absorb":
+        # fused aperture: rays HITTING the shape are absorbed, rays
+        # through the opening continue untouched (no miss-kill, no
+        # refraction — trace_core's unrolled absorb semantics). The
+        # direction and polarization stay as they are; control falls
+        # through to the SHARED outline block below.
+        if c["mask"] == "ring":
+            hitm = (r2h <= (r_ap + N_EPS) ** 2) \
+                & (r2h >= (c["ri"] - N_EPS) ** 2)
+        elif c["mask"] in ("rect", "slit"):
+            ca = float(np.cos(c["angle"]))
+            sa = float(np.sin(c["angle"]))
+            xr = hx * ca + hy * sa
+            yr = -hx * sa + hy * ca
+            hitm = (jnp.abs(xr) <= c["hw"] + N_EPS) \
+                & (jnp.abs(yr) <= c["hh"] + N_EPS)
+            if c["mask"] == "slit":
+                innm = (jnp.abs(xr) < c["hwi"] - N_EPS) \
+                    & (jnp.abs(yr) < c["hhi"] - N_EPS)
+                hitm = hitm & ~innm
+        else:           # circle / full plane
+            hitm = r2h <= (r_ap + N_EPS) ** 2
+        hit = hitm & ok & hw
+        w = jnp.where(hit, 0.0, w)
+        miss = jnp.zeros_like(hw)
+        n_tir = jnp.zeros_like(hw)
+        return _outline_block(px, py, pz, sx, sy, sz, w, pol,
+                              ppx, ppy, ppz, c, miss, n_tir, ill)
+
+    hit = (r2h <= (r_ap + N_EPS) ** 2) & ok & hw
     miss = hw & ~hit
     w = jnp.where(miss, 0.0, w)
 
@@ -312,7 +341,16 @@ def _one_step(px, py, pz, sx, sy, sz, w, n1, n2, c, pol=None):
     sy = jnp.where(upd, sy_, sy)
     sz = jnp.where(upd, sz_, sz)
 
-    # --- outline box (trace_core._outline_intersection) ----------------
+    return _outline_block(px, py, pz, sx, sy, sz, w, pol,
+                          ppx, ppy, ppz, c, miss, n_tir, ill)
+
+
+def _outline_block(px, py, pz, sx, sy, sz, w, pol, ppx, ppy, ppz, c,
+                   miss, n_tir, ill):
+    """Outline-box escape kill shared by the refract and absorb step
+    bodies (trace_core._outline_intersection): rays outside the box are
+    intersected with it FROM THE SAVED PREVIOUS POSITION ppx/ppy/ppz and
+    absorbed; returns the step's full result tuple."""
     xs, xe, ys, ye, zs, ze = c["out"]
     inside = (xs < px) & (px < xe) & (ys < py) & (py < ye) \
         & (zs < pz) & (pz < ze)

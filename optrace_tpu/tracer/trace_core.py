@@ -286,23 +286,43 @@ def _frame_chain(steps, dtype):
 # (the lax.scan fallback cannot: heterogeneous hit solves would burden
 # every scanned step)
 KERNEL_ONLY_KINDS = ("asphere", "tilted")
+# planar aperture shapes the kernel can absorb at (masked w-kill)
+APERTURE_KINDS = ("circle", "flat", "ring", "rect", "slit")
 
 
-def _partition_runs(steps, sink_masks, allow_kernel_kinds=False):
+def _kernel_only_step(st, use_hurb: bool) -> bool:
+    """Steps only the widened (kernel-bound) partition may place in a
+    run: asphere/tilted refractions and non-HURB aperture absorbers."""
+    if st.action == "refract":
+        return st.sfns.kind in KERNEL_ONLY_KINDS
+    if st.action == "absorb":
+        return st.sfns.kind in APERTURE_KINDS and not (use_hurb and st.hurb)
+    return False
+
+
+def _partition_runs(steps, sink_masks, allow_kernel_kinds=False,
+                    use_hurb=False):
     """Split the step list into per-step segments and scannable
     conic-refract runs (("step", [i]) / ("scan", [i..j]) entries).
 
-    ``allow_kernel_kinds``: widen the scannable kinds to the
-    KERNEL_ONLY_KINDS (even aspheres, tilted planes) — only when the
-    whole-run Pallas kernel (which handles them as unrolled static
-    steps, ops/pallas_run.py) will take the runs; trace_bundle
-    re-partitions such runs when kernel eligibility fails at dispatch."""
+    ``allow_kernel_kinds``: widen the scannable steps to what only the
+    whole-run Pallas kernel can execute (even aspheres, tilted planes,
+    non-HURB aperture absorbers — ops/pallas_run.py handles them as
+    unrolled static steps); trace_bundle re-partitions such runs when
+    kernel eligibility fails at dispatch. Fusing the absorbers is what
+    keeps a stop-bearing system (virtually every real one) in a single
+    kernel launch."""
     kinds = ("conic", "circle", "flat") + KERNEL_ONLY_KINDS \
         if allow_kernel_kinds else ("conic", "circle", "flat")
 
     def scannable(i):
         st = steps[i]
-        if st.action != "refract" or st.sfns.kind not in kinds:
+        if st.action == "refract" and st.sfns.kind in kinds:
+            pass
+        elif allow_kernel_kinds and _kernel_only_step(st, use_hurb) \
+                and st.action == "absorb":
+            pass
+        else:
             return False
         for m in sink_masks:
             if m is None or (i < len(m) and m[i]):
@@ -324,9 +344,22 @@ def _partition_runs(steps, sink_masks, allow_kernel_kinds=False):
     return runs
 
 
-def _media_rows(steps, scan_idxs):
+def _ambient_chain(steps, n0_fn):
+    """Per step, the ambient medium fn a ray is in when REACHING it (the
+    n2 chain of preceding refract/ideal steps; filters/absorbers leave
+    the ambient unchanged) — the n an absorber's stored section reports."""
+    out, cur = [], n0_fn
+    for st in steps:
+        out.append(cur)
+        if st.action in ("refract", "ideal"):
+            cur = st.n2_fn
+    return out
+
+
+def _media_rows(steps, scan_idxs, amb_fn_at=None):
     """Unique media (by object identity) across all scanned steps.
-    Returns (media_fns, pairs) with pairs[step_idx] = (n1_row, n2_row)."""
+    Returns (media_fns, pairs) with pairs[step_idx] = (n1_row, n2_row);
+    absorb steps map both rows to the surrounding ambient medium."""
     media, rows, pairs = [], {}, {}
 
     def row(fn):
@@ -337,7 +370,11 @@ def _media_rows(steps, scan_idxs):
         return rows[k]
 
     for i in scan_idxs:
-        pairs[i] = (row(steps[i].n1_fn), row(steps[i].n2_fn))
+        if steps[i].action == "absorb":
+            r = row(amb_fn_at[i])
+            pairs[i] = (r, r)
+        else:
+            pairs[i] = (row(steps[i].n1_fn), row(steps[i].n2_fn))
     return media, pairs
 
 
@@ -354,9 +391,11 @@ def _conic_scan(steps, idxs, chain, outline64, n_tab, pairs,
     so it stays NaN-free in both passes, and ``where`` zeroes its
     cotangent.
     """
-    # kernel-only kinds reach scan runs only via the widened partition;
-    # scanning one as a conic would be silently wrong physics
-    assert all(steps[i].sfns.kind not in KERNEL_ONLY_KINDS for i in idxs), \
+    # kernel-only steps reach scan runs only via the widened partition;
+    # scanning one as a conic refraction would be silently wrong physics
+    assert all(steps[i].action == "refract"
+               and steps[i].sfns.kind not in KERNEL_ONLY_KINDS
+               for i in idxs), \
         "kernel-only step in a lax.scan run (repartition missing)"
     dt = p.dtype
     one = jnp.asarray(np.asarray(1.0, dtype=dt))
@@ -511,17 +550,19 @@ def _pallas_run_eligible(steps, idxs, p, s=None, w=None, pols=None,
         return False
     for i in idxs:
         for key in ("pos", "rho", "k", "r", "z_min_rel", "z_max_rel",
-                    "coeff", "normal"):
+                    "coeff", "normal", "ri", "hw", "hh", "hwi", "hhi",
+                    "angle"):
             v = steps[i].sfns.params.get(key)
             if v is not None and not _is_concrete(v):
                 return False
     return True
 
 
-def _repartition_without_kernel_kinds(steps, idxs):
+def _repartition_without_kernel_kinds(steps, idxs, use_hurb=False):
     """Fallback partition of a widened run whose kernel eligibility failed
     at dispatch (e.g. diff-traced media discovered via n_tab): conic
-    sub-runs stay scannable, kernel-only steps (aspheres, tilted) unroll."""
+    sub-runs stay scannable, kernel-only steps (aspheres, tilted,
+    fused absorbers) unroll."""
     out, buf = [], []
 
     def flush():
@@ -532,7 +573,7 @@ def _repartition_without_kernel_kinds(steps, idxs):
         buf.clear()
 
     for i in idxs:
-        if steps[i].sfns.kind in KERNEL_ONLY_KINDS:
+        if _kernel_only_step(steps[i], use_hurb):
             flush()
             out.append(("step", [i]))
         else:
@@ -590,12 +631,19 @@ def _conic_run_pallas_dispatch(steps, idxs, chain, outline64, n_tab, pairs,
             if is_asph else ()
         tn = tuple(float(x) for x in np.asarray(pr["normal"]).tolist()) \
             if is_tilt else (0.0, 0.0, 1.0)
+        # aperture-mask shape for fused absorb steps ("circle" otherwise)
+        mask = st.sfns.kind if st.action == "absorb" \
+            and st.sfns.kind in ("ring", "rect", "slit") else "circle"
         consts.append(tuple(sorted(dict(
             rho=f(pr.get("rho"), 1.0), k=f(pr.get("k"), 0.0),
             r=f(pr.get("r"), 1.0),
             z_min=f(pr.get("z_min_rel"), 0.0), z_max=f(pr.get("z_max_rel"), 0.0),
             is_flat=bool(st.sfns.is_flat), is_asph=is_asph, coeff=coeff,
             is_tilt=is_tilt, tn=tn,
+            action=st.action, mask=mask,
+            ri=f(pr.get("ri"), 0.0), hw=f(pr.get("hw"), 1.0),
+            hh=f(pr.get("hh"), 1.0), hwi=f(pr.get("hwi"), 0.0),
+            hhi=f(pr.get("hhi"), 0.0), angle=f(pr.get("angle"), 0.0),
             dx=float(delta[0]), dy=float(delta[1]), dz=float(delta[2]),
             ox=float(origin[0]), oy=float(origin[1]), oz=float(origin[2]),
             out=out_rel).items())))
@@ -667,26 +715,30 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
     # O(eps·|z_absolute|) — see TraceStep.pos_host
     chain = _frame_chain(steps, p.dtype)
     sink_masks = [m for _, _, m in sink_list]
-    # widen scannable runs to the kernel-only kinds (aspheres, tilted
-    # planes) only when the whole-run kernel will take them (it unrolls
-    # per-step static constants, so a rare heterogeneous step costs only
-    # its own solve; the lax.scan fallback would pay it on EVERY scanned
-    # step). Media tracers are not visible yet (n_tab below) — the
-    # per-run eligibility re-check plus _repartition_without_kernel_kinds
-    # handles that case.
-    refract_idxs = [i for i, st in enumerate(steps) if st.action == "refract"]
+    # widen scannable runs to the kernel-only steps (aspheres, tilted
+    # planes, non-HURB aperture absorbers) only when the whole-run
+    # kernel will take them (it unrolls per-step static constants, so a
+    # heterogeneous step costs only its own solve; the lax.scan fallback
+    # would pay it on EVERY scanned step). Fused absorbers keep a
+    # stop-bearing system in one kernel launch. Media tracers are not
+    # visible yet (n_tab below) — the per-run eligibility re-check plus
+    # _repartition_without_kernel_kinds handles that case.
+    light_idxs = [i for i, st in enumerate(steps)
+                  if st.action in ("refract", "absorb")]
     allow_kernel_kinds = (
-        any(steps[i].sfns.kind in KERNEL_ONLY_KINDS for i in refract_idxs)
-        and _pallas_run_eligible(steps, refract_idxs, p, s, w, pols, None))
+        any(_kernel_only_step(steps[i], use_hurb) for i in light_idxs)
+        and _pallas_run_eligible(steps, light_idxs, p, s, w, pols, None))
     runs = _partition_runs(steps, sink_masks,
-                           allow_kernel_kinds=allow_kernel_kinds)
+                           allow_kernel_kinds=allow_kernel_kinds,
+                           use_hurb=use_hurb)
 
     # shared media table for the scanned runs: one (M, N) row per unique
     # medium, gathered by index inside the scan bodies
     scan_idxs = [i for kind, idxs in runs if kind == "scan" for i in idxs]
     n_tab = None
     if scan_idxs:
-        media, pairs = _media_rows(steps, scan_idxs)
+        media, pairs = _media_rows(steps, scan_idxs,
+                                   _ambient_chain(steps, n0_fn))
         n_tab = jnp.stack([m(wl) for m in media])
 
     if key is None:
@@ -699,12 +751,13 @@ def trace_bundle(steps: list, n0_fn: Callable, outline,
         if run_kind == "scan":
             if not _pallas_run_eligible(steps, run_idxs, p, s, w, pols,
                                         n_tab) \
-                    and any(steps[i].sfns.kind in KERNEL_ONLY_KINDS
+                    and any(_kernel_only_step(steps[i], use_hurb)
                             for i in run_idxs):
                 # widened run, kernel refused at dispatch (e.g. traced
                 # media): conic sub-runs scan, kernel-only steps unroll
                 work.extendleft(reversed(
-                    _repartition_without_kernel_kinds(steps, run_idxs)))
+                    _repartition_without_kernel_kinds(steps, run_idxs,
+                                                      use_hurb)))
                 continue
             if _pallas_run_eligible(steps, run_idxs, p, s, w, pols, n_tab):
                 (p, s, w, pols, run_infos, run_p, run_w,

@@ -313,6 +313,52 @@ def test_tilted_scene_parity(interpret_mode, no_pol):
     assert (RT_a._msgs == RT_b._msgs).all()
 
 
+@pytest.mark.parametrize("no_pol", [True, False])
+def test_aperture_fused_scene_parity(interpret_mode, no_pol):
+    """A ring stop BETWEEN lens groups (the microscope/eye layout) joins
+    the kernel run as a fused absorb step, so the whole chain traces in
+    one launch. Parity must extend to the stored per-section refractive
+    indices — the fused absorber's ambient-medium bookkeeping is the new
+    piece (ambient = n2 chain of preceding refractions)."""
+    def build():
+        RT = ot.Raytracer(outline=[-10, 10, -10, 10, -10, 80], no_pol=no_pol)
+        RT.add(ot.RaySource(ot.CircularSurface(r=1.5), divergence="Lambertian",
+                            div_angle=8, pos=[0, 0, -5],
+                            spectrum=ot.presets.light_spectrum.d65))
+        n1 = ot.presets.refraction_index.BK7
+        RT.add(ot.Lens(ot.SphericalSurface(r=3, R=20),
+                       ot.SphericalSurface(r=3, R=-25),
+                       n=n1, pos=[0, 0, 0], d=1.0, n2=n1))  # glass gap after
+        RT.add(ot.Aperture(ot.RingSurface(r=3, ri=1.0), pos=[0, 0, 5]))
+        RT.add(ot.Lens(ot.SphericalSurface(r=3, R=15),
+                       ot.SphericalSurface(r=3, R=-15),
+                       n=ot.presets.refraction_index.F2, pos=[0, 0, 10],
+                       d=1.2))
+        RT.add(ot.Detector(ot.RectangularSurface(dim=[8, 8]), pos=[0, 0, 40]))
+        return RT
+
+    N = 20000
+    with ot.global_options.no_warnings(), ot.global_options.no_progress_bar():
+        ot.global_options.pallas_trace = False
+        RT_a = build()
+        RT_a.trace(N)
+        ot.global_options.pallas_trace = True
+        RT_b = build()
+        RT_b.trace(N)
+        ot.global_options.pallas_trace = False
+
+    pa, pb = np.asarray(RT_a.rays.p_list), np.asarray(RT_b.rays.p_list)
+    np.testing.assert_allclose(pa, pb, rtol=5e-6, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(RT_a.rays.w_list),
+                               np.asarray(RT_b.rays.w_list), atol=1e-8)
+    # section-wise refractive indices: the stop's section must report the
+    # surrounding glass (n2 of the previous lens), not vacuum
+    na, nb = np.asarray(RT_a.rays.n_list), np.asarray(RT_b.rays.n_list)
+    np.testing.assert_allclose(na, nb, atol=1e-6)
+    assert na[:, 3].mean() > 1.4        # ambient at the stop is the glass
+    assert (RT_a._msgs == RT_b._msgs).all()
+
+
 def test_asphere_media_grad_repartition(interpret_mode):
     """Traced media over an asphere-widened scene: eligibility fails at
     dispatch (operand tracers), the run must repartition (conic sub-runs

@@ -86,6 +86,36 @@ def _scan_step_reference(p, s, w, n1, n2, c, pol=None):
     return p, s, w, pol_o, (int(jnp.sum(miss)), int(n_tir), int(n_out))
 
 
+def _scan_absorb_reference(p, s, w, c, pol=None):
+    """Mirror of trace_core's UNROLLED absorb step (action='absorb'):
+    masked w-kill through the shared hit/clamp blocks — no miss-kill, no
+    refraction; direction and polarization untouched."""
+    dt = p.dtype
+    hw = w > 0
+    p = p - jnp.asarray([c["dx"], c["dy"], c["dz"]], dt)
+    p_prev = p
+    ps = geom.advance_to_standoff(p, s, c["z_min"], hw)
+    t = geom.hit_plane(ps, s)
+    valid = jnp.isfinite(t) & (t >= -geom.C_EPS)
+    t2, ok, _ = geom.clamp_abnormal(ps, s, t, valid, c["z_max"])
+    p_hit = ps + t2[:, None] * s
+    x, y = p_hit[:, 0], p_hit[:, 1]
+    if c["mask"] == "ring":
+        m = geom.mask_ring(x, y, c["ri"], c["r"])
+    elif c["mask"] == "rect":
+        m = geom.mask_rect(x, y, c["hw"], c["hh"], c["angle"])
+    elif c["mask"] == "slit":
+        m = geom.mask_slit(x, y, c["hw"], c["hh"], c["hwi"], c["hhi"],
+                           c["angle"])
+    else:
+        m = geom.mask_circle(x, y, c["r"])
+    p = jnp.where(hw[:, None], p_hit, p)
+    hit = m & ok & hw
+    w = jnp.where(hit, 0.0, w)
+    p, w, n_out = _outline_intersection(p_prev, p, s, w, c["out"])
+    return p, s, w, pol, (0, 0, int(n_out))
+
+
 def _kernel_step(p, s, w, n1, n2, c, pol=None):
     """Drive ops/pallas_run._one_step on the same state (it is pure jnp on
     component blocks — no pallas_call needed to unit-test the body)."""
@@ -102,9 +132,14 @@ def _kernel_step(p, s, w, n1, n2, c, pol=None):
 
 
 def _assert_step_parity(p, s, w, n1, n2, c, pol=None, atol=1e-6):
-    pr, sr, wr, qr, cr = _scan_step_reference(
-        jnp.asarray(p), jnp.asarray(s), jnp.asarray(w), jnp.asarray(n1),
-        jnp.asarray(n2), c, None if pol is None else jnp.asarray(pol))
+    if c.get("action") == "absorb":
+        pr, sr, wr, qr, cr = _scan_absorb_reference(
+            jnp.asarray(p), jnp.asarray(s), jnp.asarray(w), c,
+            None if pol is None else jnp.asarray(pol))
+    else:
+        pr, sr, wr, qr, cr = _scan_step_reference(
+            jnp.asarray(p), jnp.asarray(s), jnp.asarray(w), jnp.asarray(n1),
+            jnp.asarray(n2), c, None if pol is None else jnp.asarray(pol))
     pk, sk, wk, qk, ck = _kernel_step(
         jnp.asarray(p), jnp.asarray(s), jnp.asarray(w), jnp.asarray(n1),
         jnp.asarray(n2), c, pol)
@@ -124,6 +159,8 @@ def _assert_step_parity(p, s, w, n1, n2, c, pol=None, atol=1e-6):
 def _const(**kw):
     c = dict(rho=0.05, k=-0.5, r=2.5, z_min=0.0, z_max=0.2, is_flat=False,
              is_asph=False, coeff=(), is_tilt=False, tn=(0.0, 0.0, 1.0),
+             action="refract", mask="circle", ri=0.0, hw=1.0, hh=1.0,
+             hwi=0.0, hhi=0.0, angle=0.0,
              dx=0.0, dy=0.0, dz=0.0, ox=0.0, oy=0.0, oz=0.0,
              out=(-100.0, 100.0, -100.0, 100.0, -100.0, 100.0))
     c.update(kw)
@@ -356,6 +393,46 @@ def test_asphere_behind_surface_and_ill():
     c2 = _const(is_asph=True, coeff=(2e-4,), r=5.0, z_max=0.35)
     _assert_step_parity(p, s, w, np.full(n, 1.0, np.float32),
                         np.full(n, 1.5, np.float32), c2)
+
+
+@pytest.mark.parametrize("mask,extra", [
+    ("ring", dict(ri=0.8, r=2.0)),
+    ("circle", dict(r=1.5)),
+    ("rect", dict(hw=1.2, hh=0.8, angle=0.3)),
+    ("slit", dict(hw=1.5, hh=1.0, hwi=0.3, hhi=0.2, angle=0.2)),
+])
+@pytest.mark.parametrize("with_pol", [False, True])
+def test_absorb_step_parity(mask, extra, with_pol):
+    """Fused aperture steps: masked w-kill at ring/circle/rect/slit
+    shapes must match the unrolled absorb semantics (no miss-kill, no
+    refraction, direction and polarization untouched, outline shared)."""
+    p, s, w = _radial_bundle(n=64, r_max=2.4)
+    c = _const(action="absorb", mask=mask, is_flat=True,
+               z_min=0.0, z_max=0.0, **extra)
+    n1 = np.full(p.shape[0], 1.0, np.float32)
+    n2 = np.full(p.shape[0], 1.0, np.float32)
+    pol = _pol_for(s) if with_pol else None
+    pk, cnt = _assert_step_parity(p, s, w, n1, n2, c, pol)
+    # some rays absorbed, some passed
+    _, sk, wk, qk, _ = _kernel_step(p, s, w, n1, n2, c, pol)
+    wk = np.asarray(wk)
+    assert 0 < (wk == 0).sum() < p.shape[0]
+    np.testing.assert_allclose(np.asarray(sk), s, atol=0)   # s untouched
+    if with_pol:
+        np.testing.assert_allclose(np.asarray(qk), pol, atol=0)
+
+
+def test_absorb_behind_surface():
+    """Rays starting past the aperture plane are NOT absorbed (beh -> no
+    hit) and keep flying — identical to the unrolled path."""
+    p, s, w = _radial_bundle(n=16, z0=1.0)
+    c = _const(action="absorb", mask="circle", is_flat=True,
+               z_min=0.0, z_max=0.0, r=5.0)
+    n1 = np.full(16, 1.0, np.float32)
+    n2 = np.full(16, 1.0, np.float32)
+    _, cnt = _assert_step_parity(p, s, w, n1, n2, c)
+    _, _, wk, _, _ = _kernel_step(p, s, w, n1, n2, c)
+    assert (np.asarray(wk) > 0).all()
 
 
 @pytest.mark.parametrize("with_pol", [False, True])
