@@ -292,11 +292,18 @@ APERTURE_KINDS = ("circle", "flat", "ring", "rect", "slit")
 
 def _kernel_only_step(st, use_hurb: bool) -> bool:
     """Steps only the widened (kernel-bound) partition may place in a
-    run: asphere/tilted refractions and non-HURB aperture absorbers."""
+    run: asphere/tilted refractions always (they replace expensive or
+    run-splitting unrolled solves); non-HURB aperture absorbers only
+    when ``global_options.pallas_fuse_absorb`` asks for single-launch
+    tracing (measured slightly slower at benchmark ray counts — see the
+    option's docstring)."""
     if st.action == "refract":
         return st.sfns.kind in KERNEL_ONLY_KINDS
     if st.action == "absorb":
-        return st.sfns.kind in APERTURE_KINDS and not (use_hurb and st.hurb)
+        from ..utils.global_options import global_options
+        return (global_options.pallas_fuse_absorb
+                and st.sfns.kind in APERTURE_KINDS
+                and not (use_hurb and st.hurb))
     return False
 
 
@@ -335,10 +342,23 @@ def _partition_runs(steps, sink_masks, allow_kernel_kinds=False,
             j = i
             while j < len(steps) and scannable(j):
                 j += 1
-            if j - i >= MIN_SCAN_RUN:
-                runs.append(("scan", list(range(i, j))))
-                i = j
-                continue
+            idxs = list(range(i, j))
+            # absorbers only pay their in-kernel cost when INTERIOR to a
+            # run (they glue refract steps into one launch); at the run
+            # edges they buy nothing — measured ~2% headline / ~7% pol
+            # loss from fusing the end absorber — so trim them back out
+            while idxs and steps[idxs[0]].action == "absorb":
+                runs.append(("step", [idxs.pop(0)]))
+            tail = []
+            while idxs and steps[idxs[-1]].action == "absorb":
+                tail.append(("step", [idxs.pop()]))
+            if len(idxs) >= MIN_SCAN_RUN:
+                runs.append(("scan", idxs))
+            else:
+                runs.extend(("step", [k]) for k in idxs)
+            runs.extend(reversed(tail))
+            i = j
+            continue
         runs.append(("step", [i]))
         i += 1
     return runs

@@ -28,6 +28,7 @@ class _GlobalOptions:
         self._float_dtype = "float32"
         self._mesh_axis_name: str = "rays"
         self._pallas_binning: bool = False
+        self._pallas_fuse_absorb: bool = False
         # The whole-run trace kernel (ops/pallas_run.py) is ON by default:
         # eligibility (trace_core._pallas_run_eligible) already restricts it
         # to the no-pol f32 TPU path with concrete surface parameters, and
@@ -131,6 +132,22 @@ class _GlobalOptions:
     def pallas_binning(self, val: bool) -> None:
         self._check_bool("pallas_binning", val)
         self._pallas_binning = val
+
+    @property
+    def pallas_fuse_absorb(self) -> bool:
+        """Fuse non-HURB aperture absorbers into the whole-run trace
+        kernel so a stop-bearing chain traces as one launch. Off by
+        default: at benchmark ray counts XLA fuses the adjacent unrolled
+        steps into ~one HBM pass, and the measured in-kernel cost
+        exceeds that (~2% no-pol / ~5% pol slower on the 57-surface
+        microscope, BENCH r5 experiments) — enable for latency-bound
+        small-batch tracing where launch count dominates."""
+        return self._pallas_fuse_absorb
+
+    @pallas_fuse_absorb.setter
+    def pallas_fuse_absorb(self, val: bool) -> None:
+        self._check_bool("pallas_fuse_absorb", val)
+        self._pallas_fuse_absorb = val
 
     @property
     def pallas_trace(self) -> bool:

@@ -343,9 +343,13 @@ def test_aperture_fused_scene_parity(interpret_mode, no_pol):
         RT_a = build()
         RT_a.trace(N)
         ot.global_options.pallas_trace = True
-        RT_b = build()
-        RT_b.trace(N)
-        ot.global_options.pallas_trace = False
+        ot.global_options.pallas_fuse_absorb = True   # opt-in fusion
+        try:
+            RT_b = build()
+            RT_b.trace(N)
+        finally:
+            ot.global_options.pallas_fuse_absorb = False
+            ot.global_options.pallas_trace = False
 
     pa, pb = np.asarray(RT_a.rays.p_list), np.asarray(RT_b.rays.p_list)
     np.testing.assert_allclose(pa, pb, rtol=5e-6, atol=5e-5)
