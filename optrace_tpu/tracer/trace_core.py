@@ -292,16 +292,20 @@ APERTURE_KINDS = ("circle", "flat", "ring", "rect", "slit")
 
 def _kernel_only_step(st, use_hurb: bool) -> bool:
     """Steps only the widened (kernel-bound) partition may place in a
-    run: asphere/tilted refractions always (they replace expensive or
-    run-splitting unrolled solves); non-HURB aperture absorbers only
-    when ``global_options.pallas_fuse_absorb`` asks for single-launch
-    tracing (measured slightly slower at benchmark ray counts — see the
+    run. Even aspheres always fuse (their unrolled fixed-iteration
+    Newton solve measured 3.7× slower than the in-kernel form); cheap
+    planar steps — tilted refractions and non-HURB aperture absorbers —
+    fuse only when ``global_options.pallas_fuse_planar`` asks for
+    single-launch tracing (measured slower at bulk ray counts, see the
     option's docstring)."""
+    from ..utils.global_options import global_options
     if st.action == "refract":
-        return st.sfns.kind in KERNEL_ONLY_KINDS
+        if st.sfns.kind == "asphere":
+            return True
+        return (st.sfns.kind == "tilted"
+                and global_options.pallas_fuse_planar)
     if st.action == "absorb":
-        from ..utils.global_options import global_options
-        return (global_options.pallas_fuse_absorb
+        return (global_options.pallas_fuse_planar
                 and st.sfns.kind in APERTURE_KINDS
                 and not (use_hurb and st.hurb))
     return False

@@ -28,7 +28,7 @@ class _GlobalOptions:
         self._float_dtype = "float32"
         self._mesh_axis_name: str = "rays"
         self._pallas_binning: bool = False
-        self._pallas_fuse_absorb: bool = False
+        self._pallas_fuse_planar: bool = False
         # The whole-run trace kernel (ops/pallas_run.py) is ON by default:
         # eligibility (trace_core._pallas_run_eligible) already restricts it
         # to the no-pol f32 TPU path with concrete surface parameters, and
@@ -134,20 +134,24 @@ class _GlobalOptions:
         self._pallas_binning = val
 
     @property
-    def pallas_fuse_absorb(self) -> bool:
-        """Fuse non-HURB aperture absorbers into the whole-run trace
-        kernel so a stop-bearing chain traces as one launch. Off by
-        default: at benchmark ray counts XLA fuses the adjacent unrolled
-        steps into ~one HBM pass, and the measured in-kernel cost
-        exceeds that (~2% no-pol / ~5% pol slower on the 57-surface
-        microscope, BENCH r5 experiments) — enable for latency-bound
-        small-batch tracing where launch count dominates."""
-        return self._pallas_fuse_absorb
+    def pallas_fuse_planar(self) -> bool:
+        """Fuse cheap PLANAR steps — tilted-plane refractions and
+        non-HURB aperture absorbers — into the whole-run trace kernel so
+        a prism- or stop-bearing chain traces as one launch. Off by
+        default: measured at 10⁶ rays, XLA fuses the adjacent unrolled
+        planar steps into ~one HBM pass, which beats their in-kernel
+        instruction cost (microscope absorbers: ~2% no-pol / ~5% pol
+        slower fused; 44-surface prism chain: 24% slower fused — r5
+        experiments). Enable for latency-bound small-batch tracing where
+        launch count dominates. Even-asphere steps are NOT behind this
+        flag: their unrolled 40-iteration Newton solve measured 3.7×
+        SLOWER than the in-kernel form, so they always fuse."""
+        return self._pallas_fuse_planar
 
-    @pallas_fuse_absorb.setter
-    def pallas_fuse_absorb(self, val: bool) -> None:
-        self._check_bool("pallas_fuse_absorb", val)
-        self._pallas_fuse_absorb = val
+    @pallas_fuse_planar.setter
+    def pallas_fuse_planar(self, val: bool) -> None:
+        self._check_bool("pallas_fuse_planar", val)
+        self._pallas_fuse_planar = val
 
     @property
     def pallas_trace(self) -> bool:

@@ -343,12 +343,12 @@ def test_aperture_fused_scene_parity(interpret_mode, no_pol):
         RT_a = build()
         RT_a.trace(N)
         ot.global_options.pallas_trace = True
-        ot.global_options.pallas_fuse_absorb = True   # opt-in fusion
+        ot.global_options.pallas_fuse_planar = True   # opt-in fusion
         try:
             RT_b = build()
             RT_b.trace(N)
         finally:
-            ot.global_options.pallas_fuse_absorb = False
+            ot.global_options.pallas_fuse_planar = False
             ot.global_options.pallas_trace = False
 
     pa, pb = np.asarray(RT_a.rays.p_list), np.asarray(RT_b.rays.p_list)

@@ -59,9 +59,13 @@ def check(kind: str, no_pol: bool, N: int = 50000) -> dict:
         A = _scene(kind, no_pol)
         A.trace(N)
         ot.global_options.pallas_trace = True
-        B = _scene(kind, no_pol)
-        B.trace(N)
-        ot.global_options.pallas_trace = False
+        ot.global_options.pallas_fuse_planar = True    # tilted is opt-in
+        try:
+            B = _scene(kind, no_pol)
+            B.trace(N)
+        finally:
+            ot.global_options.pallas_fuse_planar = False
+            ot.global_options.pallas_trace = False
     dp = float(np.abs(np.asarray(A.rays.p_list)
                       - np.asarray(B.rays.p_list)).max())
     dw = float(np.abs(np.asarray(A.rays.w_list)
