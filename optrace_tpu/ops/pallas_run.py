@@ -23,7 +23,12 @@ is pinned by tests/test_pallas_run.py against the XLA scan.
 
 On by default on TPU (``global_options.pallas_trace``); bench.py reports
 the head-to-head against the XLA scan it replaces. Covers both the no-pol
-and the full polarization-transport paths.
+and the full polarization-transport paths. Step kinds: flat discs,
+spheres, conics, even aspheres (bracketed Illinois solve — in-kernel
+measured 3.7× faster than the unrolled Newton), and — behind
+``global_options.pallas_fuse_planar`` — tilted planes and aperture
+absorbers (measured slightly slower fused at bulk ray counts; the flag
+exists for latency-bound single-launch tracing).
 """
 
 import functools
@@ -435,8 +440,11 @@ def conic_run_pallas(p, s, w, med, pol=None, *, consts, store=True,
         s/p polarization transport in-kernel (the pol benchmark path)
     :param consts: tuple of L per-step constant dicts (hashable: tuple of
         (key, value) pairs), each with rho, k, r, z_min, z_max, is_flat,
-        is_asph (+ static ``coeff`` tuple for even aspheres), dx/dy/dz
-        frame delta, ox/oy/oz applied origin, out (6 rel bounds)
+        is_asph (+ static ``coeff`` tuple for even aspheres), is_tilt
+        (+ unit-normal tuple ``tn``), action ("refract" | "absorb") with
+        the absorb mask shape ("circle"/"ring"/"rect"/"slit" + ri/hw/hh/
+        hwi/hhi/angle), dx/dy/dz frame delta, ox/oy/oz applied origin,
+        out (6 rel bounds)
     :param store: also return per-step absolute positions and weights
         (and polarizations when ``pol`` is given)
     :return: (p', s', w', pol'|None), (counts (L, 4) int32 rows of
