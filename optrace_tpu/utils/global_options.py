@@ -142,10 +142,13 @@ class _GlobalOptions:
         planar steps into ~one HBM pass, which beats their in-kernel
         instruction cost (microscope absorbers: ~2% no-pol / ~5% pol
         slower fused; 44-surface prism chain: 24% slower fused — r5
-        experiments). Enable for latency-bound small-batch tracing where
-        launch count dominates. Even-asphere steps are NOT behind this
-        flag: their unrolled 40-iteration Newton solve measured 3.7×
-        SLOWER than the in-kernel form, so they always fuse."""
+        experiments). The option exists for launch-count-bound small-batch
+        tracing (sub-ms traces are below the dev tunnel's measurement
+        floor, so that regime is unquantified — expect a win only where
+        per-launch overhead dominates device time). Even-asphere steps
+        are NOT behind this flag: their unrolled 40-iteration Newton
+        solve measured 3.7× SLOWER than the in-kernel form, so they
+        always fuse."""
         return self._pallas_fuse_planar
 
     @pallas_fuse_planar.setter
