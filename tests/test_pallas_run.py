@@ -394,6 +394,30 @@ def test_asphere_media_grad_repartition(interpret_mode):
     ot.global_options.pallas_trace = False
 
 
+def test_chunked_dispatch_with_kernel_kinds(interpret_mode, monkeypatch):
+    """Tiny PALLAS_RUN_CHUNK forces chunk boundaries THROUGH the widened
+    run (asphere mid-run): state threading across launches must stay
+    exact with heterogeneous step kinds, not just conics."""
+    import optrace_tpu.tracer.trace_core as tc
+
+    monkeypatch.setattr(tc, "PALLAS_RUN_CHUNK", 2)
+    N = 15000
+    with ot.global_options.no_warnings(), ot.global_options.no_progress_bar():
+        ot.global_options.pallas_trace = False
+        RT_a = _build_asphere()
+        RT_a.trace(N)
+        ot.global_options.pallas_trace = True
+        RT_b = _build_asphere()
+        RT_b.trace(N)
+        ot.global_options.pallas_trace = False
+
+    pa, pb = np.asarray(RT_a.rays.p_list), np.asarray(RT_b.rays.p_list)
+    np.testing.assert_allclose(pa, pb, rtol=5e-6, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(RT_a.rays.w_list),
+                               np.asarray(RT_b.rays.w_list), atol=1e-8)
+    assert (RT_a._msgs == RT_b._msgs).all()
+
+
 def test_pol_path_matches_xla_scan(interpret_mode):
     """Full polarization transport through the kernel (s/p decomposition,
     A_ts/A_tp Fresnel weights) matches the XLA scan."""
